@@ -1,0 +1,99 @@
+"""Headline benchmark: batched BFGS iterations/s per chip on the
+multi-view calibration objective (the reference's canonical workload:
+4 views x 8 points, see BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` is the ratio of accelerator throughput to the same solve
+executed on host CPU (the reference runs on CPU/torch; BASELINE.json's
+target is >= 4x the CPU baseline).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+from davo_tpu.camera import calibration_error, num_calibration_parameters
+from davo_tpu.data import SceneConfig, generate_batch
+from davo_tpu.solve import BFGSConfig, bfgs_solve
+
+BATCH = 256
+NUM_VIEWS = 4
+NUM_POINTS = 8
+ITERATIONS = 20
+LINE_SEARCH_ITERS = 8
+
+
+def make_problem(device):
+    cfg = SceneConfig(num_views=NUM_VIEWS, num_points=NUM_POINTS)
+    with jax.default_device(device):
+        batch = generate_batch(jax.random.key(0), BATCH, cfg)
+        p = num_calibration_parameters(NUM_VIEWS, NUM_POINTS)
+        guess = 0.1 * jax.random.normal(jax.random.key(1), (BATCH, p))
+        guess = guess.at[:, 0].add(1.0)  # focal near 1
+        # points guess: in front of camera 1
+        guess = guess.at[:, 3 + 2 : 3 + 3 * NUM_POINTS : 3].add(1.0)
+    return batch, guess
+
+
+def bench_backend(device) -> float:
+    batch, guess = make_problem(device)
+    solver = BFGSConfig(
+        error_threshold=-1.0,  # never converge: fixed iteration count
+        iterations=ITERATIONS,
+        minimum_step=0.0,
+        drop_path_p=0.0,
+        line_search_iterations=LINE_SEARCH_ITERS,
+    )
+    vis = batch.visibility_mask.astype(guess.dtype)
+
+    def err_fn(params):
+        return calibration_error(params, batch.projected_points, vis)
+
+    @jax.jit
+    def solve(g):
+        return bfgs_solve(err_fn, g, solver)
+
+    with jax.default_device(device):
+        solve(guess).block_until_ready()  # compile
+        runs = []
+        for _ in range(3):
+            start = time.perf_counter()
+            solve(guess).block_until_ready()
+            runs.append(time.perf_counter() - start)
+    best = min(runs)
+    return BATCH * ITERATIONS / best
+
+
+def main():
+    accel = jax.devices()[0]
+    accel_throughput = bench_backend(accel)
+    vs_baseline = 1.0
+    if accel.platform != "cpu":
+        try:
+            cpu = jax.devices("cpu")[0]
+            cpu_throughput = bench_backend(cpu)
+            vs_baseline = accel_throughput / cpu_throughput
+        except RuntimeError:
+            vs_baseline = 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "bfgs_iterations_per_second_per_chip",
+                "value": round(accel_throughput, 2),
+                "unit": "batched-BFGS-iters/s (batch=256, M=4, N=8)",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

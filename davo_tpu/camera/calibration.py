@@ -1,0 +1,169 @@
+"""Functional multi-view calibration objective (flat parameter vector).
+
+This is the user-facing "autograd" objective flavour: a flat
+``(..., 3 + 3N + 6(M-1))`` parameter vector is unpacked into intrinsics,
+world points, and per-view poses (view 1 pinned at the origin/identity),
+the scene is gauge-rescaled, and the reprojection error is the projective
+angle between each observed pixel ray and the camera-relative point.
+
+Feature parity targets in the reference repo:
+``camera_model/calibration_pinhole_camera_model.py`` and the inner error
+function of ``networks/calibration_network.py:58-67``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from davo_tpu.geometry import (
+    rotate_vector_axis_angle,
+    pixel_coordinates_to_homogeneous,
+    projective_plane_angle_distance,
+)
+
+__all__ = [
+    "CalibrationParameters",
+    "num_calibration_parameters",
+    "unpack_calibration_parameters",
+    "pack_calibration_parameters",
+    "get_camera_relative_points",
+    "calibration_error",
+]
+
+
+class CalibrationParameters(NamedTuple):
+    """Parameter slices of the flat calibration vector.
+
+    Shapes (for leading batch dims ``B...``):
+
+    * ``intrinsics``: ``(B..., 1, 1, 3)`` — ``(f, cx, cy)``.
+    * ``world_points``: ``(B..., 1, N, 3)``.
+    * ``camera_translations``: ``(B..., M-1, 1, 3)``.
+    * ``camera_rotations``: ``(B..., M-1, 1, 3)`` axis-angle.
+    """
+
+    intrinsics: jax.Array
+    world_points: jax.Array
+    camera_translations: jax.Array
+    camera_rotations: jax.Array
+
+
+def num_calibration_parameters(num_views: int, num_points: int) -> int:
+    """``P = 3 + 3N + 6(M - 1)`` (view 1 pinned at identity)."""
+    return 3 + 3 * num_points + 6 * (num_views - 1)
+
+
+def unpack_calibration_parameters(
+    parameters: jax.Array, num_views: int, num_points: int
+) -> CalibrationParameters:
+    """Split a flat parameter vector into calibration parameter slices.
+
+    Reference: ``camera_model/calibration_pinhole_camera_model.py:33-75``.
+    """
+    expected = num_calibration_parameters(num_views, num_points)
+    if parameters.shape[-1] != expected:
+        raise ValueError(
+            f"The final dimension of the parameters must be "
+            f"3 + 3*num_points + 6*(num_views - 1) = {expected}, "
+            f"got {parameters.shape[-1]}"
+        )
+    batch = parameters.shape[:-1]
+    points_end = 3 + 3 * num_points
+    translations_end = points_end + 3 * (num_views - 1)
+    return CalibrationParameters(
+        intrinsics=parameters[..., 0:3].reshape(batch + (1, 1, 3)),
+        world_points=parameters[..., 3:points_end].reshape(batch + (1, num_points, 3)),
+        camera_translations=parameters[..., points_end:translations_end].reshape(
+            batch + (num_views - 1, 1, 3)
+        ),
+        camera_rotations=parameters[..., translations_end:].reshape(
+            batch + (num_views - 1, 1, 3)
+        ),
+    )
+
+
+def pack_calibration_parameters(params: CalibrationParameters) -> jax.Array:
+    """Inverse of :func:`unpack_calibration_parameters`."""
+    batch = params.intrinsics.shape[:-3]
+    flat = lambda x: x.reshape(batch + (-1,))
+    return jnp.concatenate(
+        [
+            flat(params.intrinsics),
+            flat(params.world_points),
+            flat(params.camera_translations),
+            flat(params.camera_rotations),
+        ],
+        axis=-1,
+    )
+
+
+def get_camera_relative_points(
+    world_points: jax.Array,
+    camera_translations: jax.Array,
+    camera_rotations: jax.Array,
+) -> jax.Array:
+    """Express N world points relative to each of M camera views.
+
+    View 1 is the identity (its points are the world points themselves);
+    the remaining ``M-1`` views apply an axis-angle rotation and a
+    translation.  Before transforming, the whole scene is uniformly rescaled
+    so the mean |coordinate| over points and camera centres is 1 — this
+    fixes the gauge scale so the optimisation cannot shrink the scene to
+    zero.  Reference:
+    ``camera_model/calibration_pinhole_camera_model.py:78-117``.
+
+    :param world_points: ``(..., 1, N, 3)``.
+    :param camera_translations: ``(..., M-1, 1, 3)``.
+    :param camera_rotations: ``(..., M-1, 1, 3)``.
+    :return: ``(..., M, N, 3)`` camera-relative points.
+    """
+    num_points = world_points.shape[-2]
+    num_views = camera_translations.shape[-3] + 1
+    points_scale = jnp.mean(jnp.abs(world_points), axis=(-1, -2, -3))
+    camera_scale = jnp.mean(jnp.abs(camera_translations), axis=(-1, -2, -3))
+    overall_scale = (points_scale * num_points + camera_scale * num_views) / (
+        num_points + num_views
+    )
+    overall_scale = overall_scale[..., None, None, None]
+    world_points = world_points / overall_scale
+    camera_translations = camera_translations / overall_scale
+    rotated = rotate_vector_axis_angle(world_points, camera_rotations)
+    transformed = rotated + camera_translations
+    return jnp.concatenate(
+        [jnp.broadcast_to(world_points, world_points.shape), transformed], axis=-3
+    )
+
+
+def calibration_error(
+    parameters: jax.Array,
+    true_projected_points: jax.Array,
+    visibility_mask: jax.Array,
+) -> jax.Array:
+    """Total reprojection angle error of a calibration parameter vector.
+
+    For every view/point, lifts the observed pixel to the homogeneous ray it
+    parameterises and measures the projective-plane angle to the
+    camera-relative 3D point; invisible observations are masked out.
+
+    :param parameters: ``(B..., P)`` flat calibration vectors.
+    :param true_projected_points: ``(B..., M, N, 2)`` observed pixels.
+    :param visibility_mask: ``(B..., M, N)`` boolean/float visibility.
+    :return: ``(B...,)`` summed masked angular error.
+
+    Reference: the inner error function of
+    ``networks/calibration_network.py:58-67``.
+    """
+    num_views = true_projected_points.shape[-3]
+    num_points = true_projected_points.shape[-2]
+    params = unpack_calibration_parameters(parameters, num_views, num_points)
+    rays = pixel_coordinates_to_homogeneous(true_projected_points, params.intrinsics)
+    relative_points = get_camera_relative_points(
+        world_points=params.world_points,
+        camera_translations=params.camera_translations,
+        camera_rotations=params.camera_rotations,
+    )
+    distance = projective_plane_angle_distance(rays, relative_points)
+    return jnp.sum(distance * visibility_mask, axis=(-1, -2))

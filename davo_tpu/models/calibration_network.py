@@ -1,0 +1,108 @@
+"""End-to-end calibration network: MLP initial guess + in-forward BFGS.
+
+The flagship gen-2 model: a 3-layer MLP maps the flattened M x N x 2 match
+coordinates to an initial calibration parameter vector, then a batched BFGS
+solve over the projective-angle reprojection error refines it *inside the
+forward pass* — the solve is part of the network.
+
+Feature parity target: ``networks/calibration_network.py`` in the reference
+(solver defaults ``error_threshold=1e-7, training_error_threshold=1e-3``,
+``:44``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from davo_tpu.camera import calibration_error, num_calibration_parameters
+from davo_tpu.solve import BFGSConfig, bfgs_solve
+
+__all__ = ["CalibrationNetwork", "CalibrationMLPHead"]
+
+
+class CalibrationMLPHead(nn.Module):
+    """Linear/GELU/BatchNorm x2 + linear head (reference ``:35-43``)."""
+
+    num_outputs: int
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, inputs: jax.Array, *, training: bool = False) -> jax.Array:
+        norm = lambda name: nn.BatchNorm(
+            use_running_average=not training, name=name
+        )
+        x = nn.Dense(self.hidden_size, name="dense_1")(inputs)
+        x = nn.gelu(x)
+        x = norm("norm_1")(x)
+        x = nn.Dense(self.hidden_size, name="dense_2")(x)
+        x = nn.gelu(x)
+        x = norm("norm_2")(x)
+        return nn.Dense(self.num_outputs, name="head")(x)
+
+
+class CalibrationNetwork(nn.Module):
+    """MLP guess + differentiable BFGS refinement.
+
+    :param num_views: M views per problem.
+    :param num_points: N tracked points per problem.
+    :param hidden_size: MLP width; ``<= 0`` means ``4 * num_inputs``
+        (reference default, ``:33-34``).
+    :param solver: BFGS configuration for the in-forward solve.
+    """
+
+    num_views: int
+    num_points: int
+    hidden_size: int = -1
+    solver: BFGSConfig = BFGSConfig(
+        error_threshold=1e-7, training_error_threshold=1e-3
+    )
+
+    @nn.compact
+    def __call__(
+        self,
+        true_projected_points: jax.Array,
+        visibility_mask: jax.Array,
+        *,
+        training: bool = False,
+        return_error: bool = False,
+    ) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
+        """
+        :param true_projected_points: ``(B, M, N, 2)`` observed pixels.
+        :param visibility_mask: ``(B, M, N)`` visibility flags.
+        :return: ``(B, P)`` calibration parameters (and the final error per
+            element if ``return_error``).
+        """
+        num_inputs = self.num_views * self.num_points * 2
+        num_parameters = num_calibration_parameters(self.num_views, self.num_points)
+        hidden = self.hidden_size if self.hidden_size > 0 else 4 * num_inputs
+
+        batch = true_projected_points.shape[0]
+        inputs = true_projected_points.reshape(batch, num_inputs)
+        initial_guess = CalibrationMLPHead(
+            num_outputs=num_parameters, hidden_size=hidden, name="initial_estimator"
+        )(inputs, training=training)
+
+        visibility = visibility_mask.astype(initial_guess.dtype)
+
+        def error_function(parameters: jax.Array) -> jax.Array:
+            return calibration_error(
+                parameters, true_projected_points, visibility
+            )
+
+        drop_key = None
+        if training and self.solver.drop_path_p > 0.0:
+            drop_key = self.make_rng("drop_path")
+        result = bfgs_solve(
+            error_function,
+            initial_guess,
+            self.solver,
+            training=training,
+            key=drop_key,
+        )
+        if return_error:
+            return result, error_function(result)
+        return result

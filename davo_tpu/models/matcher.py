@@ -1,0 +1,92 @@
+"""Attention-based feature matching.
+
+An attention head directly regresses, for each feature in view A, the
+attention-weighted *coordinates* of its match in view B — matching by
+soft-argmax over descriptor similarity instead of discrete assignment, so
+the whole pipeline stays differentiable.
+
+Feature parity targets: ``networks/modules/feature_match_module.py`` and
+the (syntactically broken) N-view generalisation
+``nfold_matcher_module.py`` in the reference.  Note the reference crosses
+its query/key/value roles such that keys and values come from different
+views (``feature_match_module.py:34-39``); here queries come from view A's
+descriptors and keys/values from view B, which is the stated intent
+("for each point in A, regress its coordinates in B").
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from davo_tpu.types import FeaturePoints, MatchedPoints
+
+__all__ = ["FeatureMatchModule", "NFoldMatcherModule"]
+
+
+class FeatureMatchModule(nn.Module):
+    """Match two views' features with scaled dot-product attention.
+
+    :param descriptor_size: dimension of the input descriptors.
+    :param embedding_size: dimension of the learned key/query projections
+        (defaults to ``descriptor_size``).
+    :param dropout: attention-weight dropout probability in training.
+    """
+
+    descriptor_size: int
+    embedding_size: Optional[int] = None
+    dropout: float = 0.05
+
+    @nn.compact
+    def __call__(
+        self,
+        features_a: FeaturePoints,
+        features_b: FeaturePoints,
+        *,
+        training: bool = False,
+    ) -> MatchedPoints:
+        embed = self.embedding_size or max(self.descriptor_size, 1)
+        query = nn.Dense(embed, name="query")(features_a.descriptors)
+        key = nn.Dense(embed, name="key")(features_b.descriptors)
+        logits = jnp.einsum("...qd,...kd->...qk", query, key) / jnp.sqrt(
+            jnp.asarray(embed, dtype=query.dtype)
+        )
+        weights = jax.nn.softmax(logits, axis=-1)
+        if training and self.dropout > 0.0:
+            keep = jax.random.bernoulli(
+                self.make_rng("dropout"), 1.0 - self.dropout, weights.shape
+            )
+            weights = weights * keep / (1.0 - self.dropout)
+        matched = jnp.einsum("...qk,...kc->...qc", weights, features_b.points)
+        return MatchedPoints(points_a=features_a.points, points_b=matched)
+
+
+class NFoldMatcherModule(nn.Module):
+    """Match one anchor view against N-1 other views with shared attention
+    weights (working realisation of the reference's broken
+    ``nfold_matcher_module.py`` design intent)."""
+
+    descriptor_size: int
+    embedding_size: Optional[int] = None
+    dropout: float = 0.05
+
+    @nn.compact
+    def __call__(
+        self,
+        anchor: FeaturePoints,
+        others: Sequence[FeaturePoints],
+        *,
+        training: bool = False,
+    ) -> Sequence[MatchedPoints]:
+        matcher = FeatureMatchModule(
+            descriptor_size=self.descriptor_size,
+            embedding_size=self.embedding_size,
+            dropout=self.dropout,
+            name="pairwise",
+        )
+        return [
+            matcher(anchor, other, training=training) for other in others
+        ]

@@ -1,0 +1,53 @@
+"""Device-mesh helpers for multi-chip execution.
+
+The framework scales by sharding the *batch of optimisation problems* (and
+later, keyframe/map blocks of the distributed BA factor graph) over a
+``jax.sharding.Mesh``.  XLA inserts the collectives; these helpers only
+define the mesh and the placement of pytrees on it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "replicate", "shard_along", "DATA_AXIS"]
+
+DATA_AXIS = "data"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, axis_names: Sequence[str] = (DATA_AXIS,)
+) -> Mesh:
+    """A 1-D (or reshaped N-D) mesh over the first ``n_devices`` devices."""
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = np.asarray(devices[:n_devices])
+    if len(axis_names) == 1:
+        shape = (n_devices,)
+    else:
+        # Put all devices on the first axis by default; callers needing a
+        # 2-D layout reshape explicitly.
+        shape = (n_devices,) + (1,) * (len(axis_names) - 1)
+    return Mesh(devices.reshape(shape), axis_names)
+
+
+def replicate(tree, mesh: Mesh):
+    """Place every leaf replicated across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_along(tree, mesh: Mesh, axis_name: str = DATA_AXIS, dim: int = 0):
+    """Shard every leaf's ``dim`` dimension along ``axis_name``."""
+
+    def _shard(x):
+        spec = [None] * x.ndim
+        spec[dim] = axis_name
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree_util.tree_map(_shard, tree)

@@ -1,0 +1,32 @@
+from .calibration import (
+    CalibrationExperiment,
+    TrainState,
+    create_train_state,
+    make_train_step,
+    make_eval_step,
+    fit,
+)
+from .optimisation import (
+    OptimisationExperiment,
+    create_optimisation_state,
+    make_optimisation_train_step,
+)
+from .presets import PRESETS, get_preset
+from .checkpoint import save_checkpoint, restore_checkpoint, latest_step
+
+__all__ = [
+    "CalibrationExperiment",
+    "TrainState",
+    "create_train_state",
+    "make_train_step",
+    "make_eval_step",
+    "fit",
+    "OptimisationExperiment",
+    "create_optimisation_state",
+    "make_optimisation_train_step",
+    "PRESETS",
+    "get_preset",
+    "save_checkpoint",
+    "restore_checkpoint",
+    "latest_step",
+]

@@ -1,0 +1,125 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from davo_tpu.data import SceneConfig, generate_batch
+from davo_tpu.models import CalibrationNetwork
+from davo_tpu.solve import BFGSConfig
+
+M, N = 3, 5
+SOLVER = BFGSConfig(
+    error_threshold=1e-7,
+    training_error_threshold=1e-3,
+    iterations=8,
+    training_iterations=3,
+    drop_path_p=0.1,
+    line_search_iterations=20,
+)
+
+
+@pytest.fixture()
+def network():
+    return CalibrationNetwork(
+        num_views=M, num_points=N, hidden_size=32, solver=SOLVER
+    )
+
+
+@pytest.fixture()
+def batch(key):
+    return generate_batch(key, 4, SceneConfig(num_views=M, num_points=N))
+
+
+def _init(network, batch, key):
+    return network.init(
+        {"params": key},
+        batch.projected_points,
+        batch.visibility_mask,
+        training=False,
+    )
+
+
+def test_forward_shapes(network, batch, key):
+    variables = _init(network, batch, key)
+    out = network.apply(
+        variables, batch.projected_points, batch.visibility_mask, training=False
+    )
+    assert out.shape == (4, 3 + 3 * N + 6 * (M - 1))
+    assert np.all(np.isfinite(out))
+
+
+def test_return_error(network, batch, key):
+    variables = _init(network, batch, key)
+    out, err = network.apply(
+        variables,
+        batch.projected_points,
+        batch.visibility_mask,
+        training=False,
+        return_error=True,
+    )
+    assert err.shape == (4,)
+    assert np.all(np.asarray(err) >= 0.0)
+
+
+def test_solver_reduces_error_vs_raw_guess(network, batch, key):
+    # The BFGS refinement must not make the guess worse.
+    from davo_tpu.camera import calibration_error
+
+    variables = _init(network, batch, key)
+    out, err = network.apply(
+        variables,
+        batch.projected_points,
+        batch.visibility_mask,
+        training=False,
+        return_error=True,
+    )
+    # recompute the raw guess error by running the MLP head only
+    guess_net = CalibrationNetwork(
+        num_views=M,
+        num_points=N,
+        hidden_size=32,
+        solver=BFGSConfig(iterations=0, drop_path_p=0.0),
+    )
+    raw, raw_err = guess_net.apply(
+        variables,
+        batch.projected_points,
+        batch.visibility_mask,
+        training=False,
+        return_error=True,
+    )
+    assert np.all(np.asarray(err) <= np.asarray(raw_err) + 1e-6)
+
+
+def test_training_mode_runs_with_batchnorm_and_droppath(network, batch, key):
+    variables = _init(network, batch, key)
+    out, mutated = network.apply(
+        variables,
+        batch.projected_points,
+        batch.visibility_mask,
+        training=True,
+        rngs={"drop_path": jax.random.fold_in(key, 7)},
+        mutable=["batch_stats"],
+    )
+    assert "batch_stats" in mutated
+    assert np.all(np.isfinite(out))
+
+
+def test_gradients_flow_to_mlp_weights(network, batch, key):
+    variables = _init(network, batch, key)
+
+    def loss_fn(params):
+        out, err = network.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            batch.projected_points,
+            batch.visibility_mask,
+            training=True,
+            return_error=True,
+            rngs={"drop_path": jax.random.fold_in(key, 3)},
+            mutable=["batch_stats"],
+        )[0]
+        return jnp.mean(err) + jnp.mean(jnp.square(out))
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(g)) for g in leaves)
+    assert any(np.any(np.asarray(g) != 0.0) for g in leaves)
