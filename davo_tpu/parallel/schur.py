@@ -1,0 +1,463 @@
+"""Distributed bundle adjustment via Schur-complement reduction.
+
+The scaling story of the framework (BASELINE.json north star; absent from
+the single-device reference): a Gauss–Newton / Levenberg–Marquardt step on
+the joint (intrinsics, poses, points) problem where
+
+* the **point block** ``C`` is block-diagonal (3x3 per point) and its
+  elimination is embarrassingly parallel — each device eliminates its own
+  shard of points,
+* the **reduced camera system** ``S = H_cc - H_cp C^-1 H_cp^T`` is small
+  and dense ((3 + 6M)^2); per-shard contributions are ``psum``-reduced
+  over the mesh's point axis and the solve is replicated,
+* point updates ``dp = C^-1 (-w - H_cp^T dc)`` are computed locally per
+  shard — nothing but the reduced system ever crosses the interconnect.
+
+Gauge freedom is handled uniformly (TPU-friendly fixed shapes): boolean
+free-masks over intrinsics / pose / point coordinates pin gauge dimensions
+through a large diagonal prior instead of slicing them out of the system.
+
+The L1 flavour of the reference objective is available through IRLS
+weighting (``loss="l1"``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from davo_tpu.geometry import (
+    rotate_vector_axis_angle,
+    so3_parameter_jacobian,
+    so3_rotation_matrix,
+)
+
+__all__ = [
+    "BAProblem",
+    "BAObservations",
+    "SchurConfig",
+    "ba_residuals",
+    "schur_normal_step",
+    "schur_ba_solve",
+    "distributed_schur_ba",
+    "default_gauge_masks",
+]
+
+_PIN_WEIGHT = 1e12
+
+
+class BAProblem(NamedTuple):
+    """One bundle-adjustment problem (no batch dimension).
+
+    * ``intrinsics``: ``(3,)`` — ``(f, cx, cy)`` shared by all views.
+    * ``poses``: ``(M, 6)`` — per view ``[axis-angle(3), translation(3)]``;
+      camera-relative point = ``R(w) p + t``.
+    * ``points``: ``(N, 3)`` world points.
+    """
+
+    intrinsics: jax.Array
+    poses: jax.Array
+    points: jax.Array
+
+
+class BAObservations(NamedTuple):
+    pixels: jax.Array  # (M, N, 2)
+    visibility: jax.Array  # (M, N) bool/float
+
+
+@dataclasses.dataclass(frozen=True)
+class SchurConfig:
+    iterations: int = 10
+    damping: float = 1e-4
+    loss: str = "l2"  # "l2" | "l1" (IRLS)
+    irls_epsilon: float = 1e-6
+    min_z: float = 1e-3
+
+
+def default_gauge_masks(num_views: int, num_points: int):
+    """Free-masks fixing exactly the 7-dimensional similarity gauge:
+    view 1's pose is pinned (6 DOF: rigid transform) and the first point's
+    depth is pinned (1 DOF: scale).  Pinning more would over-constrain the
+    problem and leave a residual floor.  (The reference's gen-1 objective
+    instead pins points 1-3 with all poses free — also 7 DOF,
+    ``camera_model/pinhole_camera_model_l1.py:406-433``; that variant is
+    available by passing custom masks.)
+
+    :return: ``(intr_free (3,), pose_free (M, 6), point_free (N, 3))``.
+    """
+    intr_free = jnp.ones(3, dtype=bool)
+    pose_free = jnp.ones((num_views, 6), dtype=bool).at[0].set(False)
+    point_free = jnp.ones((num_points, 3), dtype=bool).at[0, 2].set(False)
+    return intr_free, pose_free, point_free
+
+
+def _project_terms(problem: BAProblem, config: SchurConfig):
+    """Camera-relative points and projection intermediates; shapes
+    ``(M, N, ...)``."""
+    rot = problem.poses[:, None, 0:3]  # (M, 1, 3)
+    trans = problem.poses[:, None, 3:6]
+    rel = rotate_vector_axis_angle(problem.points[None, :, :], rot) + trans
+    x, y = rel[..., 0], rel[..., 1]
+    z = jnp.maximum(rel[..., 2], config.min_z)
+    return rel, x, y, z
+
+
+def ba_residuals(
+    problem: BAProblem, obs: BAObservations, config: SchurConfig = SchurConfig()
+) -> jax.Array:
+    """Visibility-masked reprojection residuals, shape ``(M, N, 2)``."""
+    _, x, y, z = _project_terms(problem, config)
+    f = problem.intrinsics[0]
+    cx, cy = problem.intrinsics[1], problem.intrinsics[2]
+    u = f * x / z + cx
+    v = f * y / z + cy
+    uv = jnp.stack([u, v], axis=-1)
+    vis = obs.visibility.astype(uv.dtype)[..., None]
+    return (uv - obs.pixels) * vis
+
+
+def _jacobian_blocks(problem: BAProblem, obs: BAObservations, config: SchurConfig):
+    """Residuals + analytic Jacobian blocks.
+
+    :return: ``(r (M,N,2), J_intr (M,N,2,3), J_pose (M,N,2,6),
+        J_point (M,N,2,3))`` — all visibility-masked.
+    """
+    rel, x, y, z = _project_terms(problem, config)
+    f = problem.intrinsics[0]
+    inv_z = 1.0 / z
+    f_on_z = f * inv_z
+    x_on_z = x * inv_z
+    y_on_z = y * inv_z
+
+    vis = obs.visibility.astype(x.dtype)
+    u = f * x_on_z + problem.intrinsics[1]
+    v = f * y_on_z + problem.intrinsics[2]
+    r = (jnp.stack([u, v], -1) - obs.pixels) * vis[..., None]
+
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    # d(u,v)/d(f, cx, cy)
+    j_intr = jnp.stack(
+        [
+            jnp.stack([x_on_z, one, zero], -1),
+            jnp.stack([y_on_z, zero, one], -1),
+        ],
+        axis=-2,
+    )
+    # d(u,v)/d(x', y', z') — (M, N, 2, 3)
+    du_dp = jnp.stack([f_on_z, zero, -f_on_z * x_on_z], -1)
+    dv_dp = jnp.stack([zero, f_on_z, -f_on_z * y_on_z], -1)
+    j_prime = jnp.stack([du_dp, dv_dp], axis=-2)
+
+    # chain: rotation params (M, N, 3, 3), translation = I, point = R
+    j_rot = so3_parameter_jacobian(
+        problem.points[None, :, :], problem.poses[:, None, 0:3]
+    )
+    rmat = so3_rotation_matrix(problem.poses[:, 0:3])[:, None]  # (M,1,3,3)
+    j_pose_rot = jnp.einsum("mnri,mnij->mnrj", j_prime, j_rot)
+    j_pose = jnp.concatenate([j_pose_rot, j_prime], axis=-1)  # (M,N,2,6)
+    j_point = jnp.einsum("mnri,mnij->mnrj", j_prime, rmat)
+
+    vis_e = vis[..., None, None]
+    return r, j_intr * vis_e, j_pose * vis_e, j_point * vis_e
+
+
+def _irls_weights(r: jax.Array, config: SchurConfig) -> jax.Array:
+    if config.loss == "l2":
+        return jnp.ones_like(r)
+    # minimise sum |r| via reweighted least squares: w = 1/max(|r|, eps)
+    return 1.0 / jnp.sqrt(jnp.abs(r) + config.irls_epsilon)
+
+
+def _camera_dim(num_views: int) -> int:
+    return 3 + 6 * num_views
+
+
+def _local_reductions(problem, obs, config, intr_free, pose_free, point_free):
+    """Everything computable from a local shard of points: the shard's
+    contribution to the reduced camera system + local point elimination
+    factors."""
+    m = problem.poses.shape[0]
+    r, j_intr, j_pose, j_point = _jacobian_blocks(problem, obs, config)
+    w_irls = _irls_weights(r, config)
+    r = r * w_irls
+    j_intr = j_intr * w_irls[..., None]
+    j_pose = j_pose * w_irls[..., None]
+    j_point = j_point * w_irls[..., None]
+
+    # mask out gauge-fixed columns
+    j_intr = j_intr * intr_free.astype(j_intr.dtype)[None, None, None, :]
+    j_pose = j_pose * pose_free.astype(j_pose.dtype)[:, None, None, :]
+    j_point = j_point * point_free.astype(j_point.dtype)[None, :, None, :]
+
+    # dense camera Jacobian (M, N, 2, 3 + 6M): pose block one-hot by view
+    eye_m = jnp.eye(m, dtype=j_pose.dtype)
+    j_pose_dense = jnp.einsum("mnrp,mv->mnrvp", j_pose, eye_m).reshape(
+        j_pose.shape[:3] + (6 * m,)
+    )
+    j_cam = jnp.concatenate([j_intr, j_pose_dense], axis=-1)
+
+    h_cc = jnp.einsum("mnrc,mnrd->cd", j_cam, j_cam)
+    g_c = jnp.einsum("mnrc,mnr->c", j_cam, r)
+    # per-point blocks (sum over views)
+    h_cp = jnp.einsum("mnrc,mnrp->ncp", j_cam, j_point)
+    c_blk = jnp.einsum("mnrp,mnrq->npq", j_point, j_point)
+    g_p = jnp.einsum("mnrp,mnr->np", j_point, r)
+
+    # damping + gauge pinning of the point blocks
+    pin = jnp.where(point_free, config.damping, _PIN_WEIGHT)
+    c_blk = c_blk + jax.vmap(jnp.diag)(pin.astype(c_blk.dtype))
+    c_inv = jnp.linalg.inv(c_blk)
+
+    # shard contributions to the Schur complement
+    s_part = h_cc - jnp.einsum("ncp,npq,ndq->cd", h_cp, c_inv, h_cp)
+    rhs_part = -g_c + jnp.einsum("ncp,npq,nq->c", h_cp, c_inv, g_p)
+    cost = 0.5 * jnp.sum(jnp.square(r))
+    return s_part, rhs_part, h_cp, c_inv, g_p, cost
+
+
+def _apply_camera_delta(problem: BAProblem, dc: jax.Array) -> BAProblem:
+    m = problem.poses.shape[0]
+    return problem._replace(
+        intrinsics=problem.intrinsics + dc[0:3],
+        poses=problem.poses + dc[3:].reshape(m, 6),
+    )
+
+
+def schur_normal_step(
+    problem: BAProblem,
+    obs: BAObservations,
+    config: SchurConfig = SchurConfig(),
+    gauge_masks=None,
+) -> Tuple[BAProblem, jax.Array]:
+    """One damped Gauss–Newton step via Schur complement (single device).
+
+    :return: ``(updated_problem, cost_before_step)``.
+    """
+    m, n = obs.pixels.shape[0], obs.pixels.shape[1]
+    if gauge_masks is None:
+        gauge_masks = default_gauge_masks(m, n)
+    intr_free, pose_free, point_free = gauge_masks
+    s, rhs, h_cp, c_inv, g_p, cost = _local_reductions(
+        problem, obs, config, intr_free, pose_free, point_free
+    )
+    cdim = _camera_dim(m)
+    s = s + config.damping * jnp.eye(cdim, dtype=s.dtype)
+    dc = jnp.linalg.solve(s, rhs)
+    dc = dc * jnp.concatenate(
+        [intr_free, pose_free.reshape(-1)]
+    ).astype(dc.dtype)
+    dp = jnp.einsum(
+        "npq,nq->np", c_inv, -g_p - jnp.einsum("ncp,c->np", h_cp, dc)
+    )
+    dp = dp * point_free.astype(dp.dtype)
+    new_problem = _apply_camera_delta(problem, dc)._replace(
+        points=problem.points + dp
+    )
+    return new_problem, cost
+
+
+def schur_ba_solve(
+    problem: BAProblem,
+    obs: BAObservations,
+    config: SchurConfig = SchurConfig(),
+    gauge_masks=None,
+) -> BAProblem:
+    """Fixed-iteration damped Schur GN with step acceptance (LM flavour):
+    reject steps that increase the cost and raise damping instead."""
+    m, n = obs.pixels.shape[0], obs.pixels.shape[1]
+    if gauge_masks is None:
+        gauge_masks = default_gauge_masks(m, n)
+
+    def cost_of(p):
+        r = ba_residuals(p, obs, config)
+        w = _irls_weights(r, config)
+        return 0.5 * jnp.sum(jnp.square(r * w))
+
+    def body(carry, _):
+        prob, damping = carry
+        candidate = _damped_step(prob, obs, config, damping, gauge_masks)
+        improved = cost_of(candidate) < cost_of(prob)
+        new_prob = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(improved, a, b), candidate, prob
+        )
+        new_damping = jnp.where(improved, damping * 0.3, damping * 5.0)
+        new_damping = jnp.clip(new_damping, 1e-10, 1e8)
+        return (new_prob, new_damping), None
+
+    init = (problem, jnp.asarray(config.damping, problem.points.dtype))
+    (final, _), _ = jax.lax.scan(body, init, None, length=config.iterations)
+    return final
+
+
+def _damped_step(problem, obs, config, damping, gauge_masks):
+    """A Schur step with a runtime (traced) damping value."""
+    intr_free, pose_free, point_free = gauge_masks
+    m = problem.poses.shape[0]
+    r, j_intr, j_pose, j_point = _jacobian_blocks(problem, obs, config)
+    w_irls = _irls_weights(r, config)
+    r = r * w_irls
+    j_intr = j_intr * w_irls[..., None] * intr_free.astype(r.dtype)
+    j_pose = (
+        j_pose * w_irls[..., None] * pose_free.astype(r.dtype)[:, None, None, :]
+    )
+    j_point = (
+        j_point
+        * w_irls[..., None]
+        * point_free.astype(r.dtype)[None, :, None, :]
+    )
+    eye_m = jnp.eye(m, dtype=j_pose.dtype)
+    j_pose_dense = jnp.einsum("mnrp,mv->mnrvp", j_pose, eye_m).reshape(
+        j_pose.shape[:3] + (6 * m,)
+    )
+    j_cam = jnp.concatenate([j_intr, j_pose_dense], axis=-1)
+    h_cc = jnp.einsum("mnrc,mnrd->cd", j_cam, j_cam)
+    g_c = jnp.einsum("mnrc,mnr->c", j_cam, r)
+    h_cp = jnp.einsum("mnrc,mnrp->ncp", j_cam, j_point)
+    c_blk = jnp.einsum("mnrp,mnrq->npq", j_point, j_point)
+    g_p = jnp.einsum("mnrp,mnr->np", j_point, r)
+    pin = jnp.where(point_free, damping, _PIN_WEIGHT)
+    c_blk = c_blk + jax.vmap(jnp.diag)(pin.astype(c_blk.dtype))
+    c_inv = jnp.linalg.inv(c_blk)
+    s = h_cc - jnp.einsum("ncp,npq,ndq->cd", h_cp, c_inv, h_cp)
+    rhs = -g_c + jnp.einsum("ncp,npq,nq->c", h_cp, c_inv, g_p)
+    cdim = _camera_dim(m)
+    s = s + damping * jnp.eye(cdim, dtype=s.dtype)
+    dc = jnp.linalg.solve(s, rhs)
+    dc = dc * jnp.concatenate([intr_free, pose_free.reshape(-1)]).astype(dc.dtype)
+    dp = jnp.einsum("npq,nq->np", c_inv, -g_p - jnp.einsum("ncp,c->np", h_cp, dc))
+    dp = dp * point_free.astype(dp.dtype)
+    return _apply_camera_delta(problem, dc)._replace(points=problem.points + dp)
+
+
+def distributed_schur_ba(
+    problem: BAProblem,
+    obs: BAObservations,
+    mesh: Mesh,
+    config: SchurConfig = SchurConfig(),
+    axis_name: str = "data",
+    gauge_masks=None,
+) -> BAProblem:
+    """Schur BA with the point block sharded over ``mesh``'s ``axis_name``.
+
+    Camera parameters are replicated; ``problem.points`` and the ``N`` axis
+    of the observations are sharded.  Each device eliminates its local
+    points; only the ``(3+6M)^2`` reduced system and its rhs are
+    ``psum``-reduced over the interconnect per iteration.
+
+    ``N`` must be divisible by the mesh axis size.
+    """
+    m, n = obs.pixels.shape[0], obs.pixels.shape[1]
+    if gauge_masks is None:
+        gauge_masks = default_gauge_masks(m, n)
+    intr_free, pose_free, point_free = gauge_masks
+    axis_size = mesh.shape[axis_name]
+    if n % axis_size != 0:
+        raise ValueError(
+            f"num_points={n} must divide evenly over mesh axis "
+            f"{axis_name!r} (size {axis_size})"
+        )
+
+    replicated = P()
+    sharded_points = P(axis_name)
+    sharded_obs = P(None, axis_name)
+
+    def local_step(intr, poses, points, pixels, vis, pfree, damping):
+        prob = BAProblem(intr, poses, points)
+        local_obs = BAObservations(pixels, vis)
+        masks = (intr_free, pose_free, pfree)
+        r, j_intr, j_pose, j_point = _jacobian_blocks(prob, local_obs, config)
+        w_irls = _irls_weights(r, config)
+        r = r * w_irls
+        j_intr = j_intr * w_irls[..., None] * intr_free.astype(r.dtype)
+        j_pose = (
+            j_pose
+            * w_irls[..., None]
+            * pose_free.astype(r.dtype)[:, None, None, :]
+        )
+        j_point = (
+            j_point * w_irls[..., None] * pfree.astype(r.dtype)[None, :, None, :]
+        )
+        eye_m = jnp.eye(m, dtype=j_pose.dtype)
+        j_pose_dense = jnp.einsum("mnrp,mv->mnrvp", j_pose, eye_m).reshape(
+            j_pose.shape[:3] + (6 * m,)
+        )
+        j_cam = jnp.concatenate([j_intr, j_pose_dense], axis=-1)
+        h_cc = jnp.einsum("mnrc,mnrd->cd", j_cam, j_cam)
+        g_c = jnp.einsum("mnrc,mnr->c", j_cam, r)
+        h_cp = jnp.einsum("mnrc,mnrp->ncp", j_cam, j_point)
+        c_blk = jnp.einsum("mnrp,mnrq->npq", j_point, j_point)
+        g_p = jnp.einsum("mnrp,mnr->np", j_point, r)
+        pin = jnp.where(pfree, damping, _PIN_WEIGHT)
+        c_blk = c_blk + jax.vmap(jnp.diag)(pin.astype(c_blk.dtype))
+        c_inv = jnp.linalg.inv(c_blk)
+        s_part = h_cc - jnp.einsum("ncp,npq,ndq->cd", h_cp, c_inv, h_cp)
+        rhs_part = -g_c + jnp.einsum("ncp,npq,nq->c", h_cp, c_inv, g_p)
+
+        # the only cross-device communication: the reduced camera system
+        s = jax.lax.psum(s_part, axis_name)
+        rhs = jax.lax.psum(rhs_part, axis_name)
+        s = s + damping * jnp.eye(_camera_dim(m), dtype=s.dtype)
+        dc = jnp.linalg.solve(s, rhs)
+        dc = dc * jnp.concatenate(
+            [intr_free, pose_free.reshape(-1)]
+        ).astype(dc.dtype)
+        dp = jnp.einsum(
+            "npq,nq->np", c_inv, -g_p - jnp.einsum("ncp,c->np", h_cp, dc)
+        )
+        dp = dp * pfree.astype(dp.dtype)
+        cost_part = 0.5 * jnp.sum(jnp.square(r))
+        cost = jax.lax.psum(cost_part, axis_name)
+        return dc, points + dp, cost
+
+    shard_map = jax.shard_map
+
+    sharded_step = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            replicated,
+            replicated,
+            sharded_points,
+            sharded_obs,
+            sharded_obs,
+            sharded_points,
+            replicated,
+        ),
+        out_specs=(replicated, sharded_points, replicated),
+    )
+
+    def cost_of(prob):
+        r = ba_residuals(prob, obs, config)
+        w = _irls_weights(r, config)
+        return 0.5 * jnp.sum(jnp.square(r * w))
+
+    def body(carry, _):
+        prob, damping = carry
+        dc, new_points, _ = sharded_step(
+            prob.intrinsics,
+            prob.poses,
+            prob.points,
+            obs.pixels,
+            obs.visibility.astype(prob.points.dtype),
+            point_free,
+            damping,
+        )
+        candidate = _apply_camera_delta(prob, dc)._replace(points=new_points)
+        improved = cost_of(candidate) < cost_of(prob)
+        new_prob = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(improved, a, b), candidate, prob
+        )
+        new_damping = jnp.clip(
+            jnp.where(improved, damping * 0.3, damping * 5.0), 1e-10, 1e8
+        )
+        return (new_prob, new_damping), None
+
+    init = (problem, jnp.asarray(config.damping, problem.points.dtype))
+    (final, _), _ = jax.lax.scan(body, init, None, length=config.iterations)
+    return final

@@ -7,6 +7,7 @@ from .bfgs import (
     clamp_search_direction,
 )
 from .sgd import SGDConfig, sgd_solve
+from .protocol_solver import BFGSCameraSolverConfig, bfgs_solve_function
 from .least_squares import (
     find_residuals,
     find_error,
@@ -16,6 +17,8 @@ from .least_squares import (
 )
 
 __all__ = [
+    "BFGSCameraSolverConfig",
+    "bfgs_solve_function",
     "find_residuals",
     "find_error",
     "find_error_gradient",

@@ -13,6 +13,12 @@ from .optimisation import (
 )
 from .presets import PRESETS, get_preset
 from .checkpoint import save_checkpoint, restore_checkpoint, latest_step
+from .evaluation import (
+    camera_centers_from_poses,
+    umeyama_alignment,
+    absolute_trajectory_error,
+    intrinsics_error,
+)
 
 __all__ = [
     "CalibrationExperiment",
@@ -29,4 +35,8 @@ __all__ = [
     "save_checkpoint",
     "restore_checkpoint",
     "latest_step",
+    "camera_centers_from_poses",
+    "umeyama_alignment",
+    "absolute_trajectory_error",
+    "intrinsics_error",
 ]
