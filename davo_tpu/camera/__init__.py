@@ -13,6 +13,10 @@ from .distortion import (
     distorted_project_and_jacobian,
 )
 from .model_protocol import IOptimisableFunction, PinholeCameraModelL1
+from .simple_parameters import (
+    SimpleCameraModelParameters,
+    NUM_SIMPLE_CAMERA_PARAMS,
+)
 from .pinhole_ba import (
     PinholeBAConfig,
     PinholeBAParams,
@@ -41,6 +45,8 @@ __all__ = [
     "distorted_project_and_jacobian",
     "IOptimisableFunction",
     "PinholeCameraModelL1",
+    "SimpleCameraModelParameters",
+    "NUM_SIMPLE_CAMERA_PARAMS",
     "PinholeBAConfig",
     "PinholeBAParams",
     "PinholeBAData",

@@ -77,6 +77,10 @@ class PinholeBAConfig:
     maximum_pixel_ratio: float = 5.0
     constrain: bool = False
     max_gradient: float = -1.0  # <= 0 disables gradient scaling/clipping
+    # "l1" (flagship objective), "l2", or "mixed" (L1 on u, L2 on v — the
+    # base-class refactor's intent, reference
+    # ``camera_model/pinhole_camera_model.py:483-494``).
+    error_norm: str = "l1"
 
 
 class PinholeBAParams(NamedTuple):
@@ -257,18 +261,34 @@ def _error_scale(num_views: int, num_points: int) -> float:
     return float(1.0 / (num_views * num_points)) ** 0.5
 
 
+def _residual_norms(res_u, res_v, config: PinholeBAConfig):
+    """Per-residual error terms + d(term)/d(residual) for the configured
+    norm.  L1 => (|r|, sign r); L2 => (r^2, 2r); mixed => L1 on u, L2 on v.
+    """
+    if config.error_norm == "l1":
+        return (jnp.abs(res_u), jnp.abs(res_v), jnp.sign(res_u), jnp.sign(res_v))
+    if config.error_norm == "l2":
+        return (jnp.square(res_u), jnp.square(res_v), 2.0 * res_u, 2.0 * res_v)
+    if config.error_norm == "mixed":
+        return (jnp.abs(res_u), jnp.square(res_v), jnp.sign(res_u), 2.0 * res_v)
+    raise ValueError(f"Unknown error_norm: {config.error_norm!r}")
+
+
 def ba_error(
     params: PinholeBAParams,
     data: PinholeBAData,
     config: PinholeBAConfig = PinholeBAConfig(),
 ) -> jax.Array:
-    """Masked L1 reprojection error, scaled by ``sqrt(1/(M N))``;
+    """Masked reprojection error, scaled by ``sqrt(1/(M N))``;
     shape = the parameter batch dims (reference ``get_error``, ``:132-179``)."""
     uv = ba_project(params, config)
     residuals = uv - data.true_projected_points
-    vis = data.visibility_mask.astype(uv.dtype)[..., None]
+    vis = data.visibility_mask.astype(uv.dtype)
     scale = _error_scale(params.num_views, params.num_points)
-    return scale * jnp.sum(jnp.abs(residuals * vis), axis=(-1, -2, -3))
+    err_u, err_v, _, _ = _residual_norms(
+        residuals[..., 0] * vis, residuals[..., 1] * vis, config
+    )
+    return scale * jnp.sum(err_u + err_v, axis=(-1, -2))
 
 
 def ba_error_and_gradient(
@@ -307,11 +327,10 @@ def ba_error_and_gradient(
     scale = _error_scale(params.num_views, params.num_points)
     res_u = u - true_uv[..., 0]
     res_v = v - true_uv[..., 1]
-    error = scale * jnp.sum(
-        (jnp.abs(res_u) + jnp.abs(res_v)) * vis, axis=(-1, -2)
-    )
-    sign_u = scale * vis * jnp.sign(res_u)
-    sign_v = scale * vis * jnp.sign(res_v)
+    err_u, err_v, d_u, d_v = _residual_norms(res_u, res_v, config)
+    error = scale * jnp.sum((err_u + err_v) * vis, axis=(-1, -2))
+    sign_u = scale * vis * d_u
+    sign_v = scale * vis * d_v
 
     inv_z = 1.0 / z
     f_on_z = f * inv_z

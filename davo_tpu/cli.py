@@ -1,0 +1,128 @@
+"""Command-line entry point.
+
+The reference exposes a bare ``LightningCLI`` driven by YAML
+(``lightning_cli.py`` + ``configurations/*.yaml``); here the four canonical
+experiments are named presets:
+
+    python -m davo_tpu.cli fit --preset calibration_from_oracle_matches \
+        --epochs 5 --checkpoint-dir /tmp/run1
+    python -m davo_tpu.cli eval --preset calibration_from_oracle_matches \
+        --checkpoint-dir /tmp/run1
+    python -m davo_tpu.cli bench
+    python -m davo_tpu.cli presets
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+
+def _add_common(p):
+    p.add_argument("--preset", default="calibration_from_oracle_matches")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--metrics-file", default=None, help="JSONL metrics log")
+    p.add_argument("--platform", default=None, help="force a jax platform (cpu/tpu)")
+
+
+def _apply_overrides(config, args):
+    updates = {}
+    for field in ("epochs", "batch_size", "seed"):
+        value = getattr(args, field)
+        if value is not None and hasattr(config, field):
+            updates[field] = value
+    return dataclasses.replace(config, **updates) if updates else config
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="davo_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+    fit_p = sub.add_parser("fit", help="train a preset experiment")
+    _add_common(fit_p)
+    eval_p = sub.add_parser("eval", help="evaluate a trained checkpoint")
+    _add_common(eval_p)
+    eval_p.add_argument("--batches", type=int, default=16)
+    sub.add_parser("bench", help="run the headline benchmark")
+    sub.add_parser("presets", help="list experiment presets")
+    args = parser.parse_args(argv)
+
+    if args.command == "presets":
+        from davo_tpu.train import PRESETS
+
+        for name, builder in sorted(PRESETS.items()):
+            print(f"{name}: {type(builder()).__name__}")
+        return 0
+
+    if args.command == "bench":
+        import bench  # repo-root benchmark
+
+        bench.main()
+        return 0
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from davo_tpu.train import (
+        get_preset,
+        fit,
+        save_checkpoint,
+        restore_checkpoint,
+        CalibrationExperiment,
+    )
+    from davo_tpu.train.metrics import MetricsLogger
+
+    config = _apply_overrides(get_preset(args.preset), args)
+    if not isinstance(config, CalibrationExperiment):
+        print(
+            f"preset {args.preset!r} uses the gen-1 optimisation harness; "
+            "the fit loop currently drives CalibrationExperiment presets — "
+            "use davo_tpu.train.make_optimisation_train_step directly.",
+            file=sys.stderr,
+        )
+        return 2
+
+    logger = MetricsLogger(args.metrics_file)
+
+    if args.command == "fit":
+        state, history = fit(config, log_fn=logger)
+        if args.checkpoint_dir:
+            path = save_checkpoint(
+                args.checkpoint_dir,
+                len(history["train"]),
+                {"params": state.params, "batch_stats": state.batch_stats},
+            )
+            print(f"checkpoint: {path}")
+        final = history["val"][-1] if history["val"] else {}
+        print(json.dumps({"final_val": final}))
+        return 0
+
+    # eval
+    from davo_tpu.train import create_train_state, make_eval_step
+    import jax.numpy as jnp
+
+    key = jax.random.key(config.seed)
+    network, state = create_train_state(config, key)
+    if args.checkpoint_dir:
+        restored = restore_checkpoint(args.checkpoint_dir)
+        state = state.replace(
+            params=restored["params"], batch_stats=restored["batch_stats"]
+        )
+    eval_step = make_eval_step(network, config)
+    metrics = []
+    for i in range(args.batches):
+        metrics.append(eval_step(state, jax.random.fold_in(key, 1000 + i)))
+    avg = {k: float(jnp.mean(jnp.stack([m[k] for m in metrics]))) for k in metrics[0]}
+    print(json.dumps(avg))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,4 +1,10 @@
-from .mesh import make_mesh, replicate, shard_along, DATA_AXIS
+from .mesh import (
+    make_mesh,
+    replicate,
+    shard_along,
+    initialize_distributed,
+    DATA_AXIS,
+)
 from .data_parallel import make_dp_train_step
 from .schur import (
     BAProblem,
@@ -15,6 +21,7 @@ __all__ = [
     "make_mesh",
     "replicate",
     "shard_along",
+    "initialize_distributed",
     "DATA_AXIS",
     "make_dp_train_step",
     "BAProblem",

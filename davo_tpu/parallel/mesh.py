@@ -14,9 +14,39 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "replicate", "shard_along", "DATA_AXIS"]
+__all__ = [
+    "make_mesh",
+    "replicate",
+    "shard_along",
+    "initialize_distributed",
+    "DATA_AXIS",
+]
 
 DATA_AXIS = "data"
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Initialise the multi-host runtime (``jax.distributed.initialize``
+    over ICI/DCN) and return this process's index.
+
+    With no arguments, auto-detects the cluster environment (TPU pod
+    metadata / SLURM / GKE); a no-op when already initialised or when
+    running single-process.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        # already initialised, or single-process with no cluster env
+        pass
+    return jax.process_index()
 
 
 def make_mesh(

@@ -13,6 +13,7 @@ from .optimisation import (
 )
 from .presets import PRESETS, get_preset
 from .checkpoint import save_checkpoint, restore_checkpoint, latest_step
+from .metrics import MetricsLogger, weight_summaries
 from .evaluation import (
     camera_centers_from_poses,
     umeyama_alignment,
@@ -35,6 +36,8 @@ __all__ = [
     "save_checkpoint",
     "restore_checkpoint",
     "latest_step",
+    "MetricsLogger",
+    "weight_summaries",
     "camera_centers_from_poses",
     "umeyama_alignment",
     "absolute_trajectory_error",

@@ -63,8 +63,16 @@ class CalibrationExperiment:
     seed: int = 0
     dtype: Any = jnp.float32
     scene: Optional[SceneConfig] = None
+    # Reference thresholds (networks/calibration_network.py:44) with a
+    # bounded training unroll: training differentiates through the solve,
+    # so its iteration budget is a compiled scan length (SURVEY §7.3);
+    # eval uses a while_loop and can afford the full budget.
     solver: BFGSConfig = BFGSConfig(
-        error_threshold=1e-7, training_error_threshold=1e-3
+        error_threshold=1e-7,
+        training_error_threshold=1e-3,
+        iterations=100,
+        training_iterations=10,
+        line_search_iterations=50,
     )
 
     def resolved_scene(self) -> SceneConfig:

@@ -1,0 +1,58 @@
+"""Metric logging: stdout + optional JSONL file + weight summaries.
+
+The reference logs through TensorBoard + MLflow with per-step ``self.log``
+and a weight-histogram helper
+(``training_modules/camera_optimisation_training_module.py:49-63``); the
+TPU build streams the same metric names to a JSONL file that any tracker
+can ingest, with no logging dependency in the hot path.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["MetricsLogger", "weight_summaries"]
+
+
+class MetricsLogger:
+    """Callable matching the ``fit(log_fn=...)`` signature
+    ``(split, epoch, metrics)``; prints one line and appends JSONL."""
+
+    def __init__(self, path: Optional[str] = None):
+        self.path = path
+        self._start = time.time()
+
+    def __call__(self, split: str, epoch: int, metrics: Dict[str, float]):
+        record = {
+            "split": split,
+            "epoch": epoch,
+            "elapsed_s": round(time.time() - self._start, 3),
+            **{k: float(v) for k, v in metrics.items()},
+        }
+        line = json.dumps(record)
+        print(line, flush=True)
+        if self.path:
+            with open(self.path, "a") as f:
+                f.write(line + "\n")
+
+
+def weight_summaries(params) -> Dict[str, Dict[str, float]]:
+    """Per-leaf weight statistics (mean/std/absmax) — the histogram-free
+    analogue of the reference's ``_weights_log``."""
+    out = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        name = "/".join(
+            getattr(p, "key", getattr(p, "idx", str(p))) for p in path
+        )
+        leaf = jnp.asarray(leaf)
+        out[name] = {
+            "mean": float(jnp.mean(leaf)),
+            "std": float(jnp.std(leaf)),
+            "absmax": float(jnp.max(jnp.abs(leaf))),
+        }
+    return out

@@ -17,6 +17,7 @@ from .masked import (
     masked_update_tree,
     masked_merge_tensors,
 )
+from .profiling import trace, timed, debug_nans
 
 __all__ = [
     "sin_x_on_x",
@@ -32,4 +33,7 @@ __all__ = [
     "masked_update",
     "masked_update_tree",
     "masked_merge_tensors",
+    "trace",
+    "timed",
+    "debug_nans",
 ]

@@ -207,6 +207,29 @@ class TestErrorAndGradient:
         auto = jax.grad(err_from_vec)(ba_params_to_vector(params))
         np.testing.assert_allclose(grad, auto, rtol=1e-7, atol=1e-9)
 
+    @pytest.mark.parametrize("norm", ["l2", "mixed"])
+    def test_alternative_norms_gradient_matches_autodiff(self, rng, norm):
+        cfg = PinholeBAConfig(error_norm=norm)
+        params = _random_params(rng, batch=(2,))
+        params = params._replace(
+            world_points=params.world_points.at[..., 0, 2].set(0.0)
+        )
+        data = _random_data(rng, batch=(2,))
+        err, grad = ba_error_and_gradient(params, data, cfg)
+
+        def err_from_vec(vec):
+            return ba_error(ba_params_from_vector(vec, M, N), data, cfg).sum()
+
+        auto = jax.grad(err_from_vec)(ba_params_to_vector(params))
+        np.testing.assert_allclose(grad, auto, rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(err, ba_error(params, data, cfg), rtol=1e-10)
+
+    def test_unknown_norm_raises(self, rng):
+        params = _random_params(rng)
+        data = _random_data(rng)
+        with pytest.raises(ValueError):
+            ba_error(params, data, PinholeBAConfig(error_norm="l3"))
+
     def test_max_gradient_caps_entries(self, rng):
         params = _random_params(rng)
         # tiny depths make raw gradients huge

@@ -1,0 +1,72 @@
+import json
+import subprocess
+import sys
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from davo_tpu.train import MetricsLogger, weight_summaries
+from davo_tpu.train import save_checkpoint, restore_checkpoint, latest_step
+
+
+def test_metrics_logger_writes_jsonl(tmp_path, capsys):
+    path = tmp_path / "metrics.jsonl"
+    logger = MetricsLogger(str(path))
+    logger("train", 0, {"loss": 1.5})
+    logger("val", 0, {"loss": jnp.asarray(2.5)})
+    lines = [json.loads(l) for l in path.read_text().splitlines()]
+    assert lines[0]["split"] == "train" and lines[0]["loss"] == 1.5
+    assert lines[1]["loss"] == 2.5
+    out = capsys.readouterr().out
+    assert "loss" in out
+
+
+def test_weight_summaries():
+    params = {"dense": {"kernel": jnp.asarray([[1.0, -3.0]])}}
+    out = weight_summaries(params)
+    (name, stats), = out.items()
+    assert "kernel" in name
+    np.testing.assert_allclose(stats["absmax"], 3.0)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {"params": {"w": jnp.arange(4.0)}, "step": jnp.asarray(7)}
+    save_checkpoint(str(tmp_path), 3, state)
+    save_checkpoint(str(tmp_path), 10, state)
+    assert latest_step(str(tmp_path)) == 10
+    restored = restore_checkpoint(str(tmp_path))
+    np.testing.assert_array_equal(restored["params"]["w"], np.arange(4.0))
+    with pytest.raises(FileNotFoundError):
+        restore_checkpoint(str(tmp_path / "missing"))
+
+
+def _run_cli(*args):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable, "-m", "davo_tpu.cli", *args],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        env=env,
+        timeout=600,
+    )
+
+
+def test_cli_presets_lists_all():
+    result = _run_cli("presets")
+    assert result.returncode == 0, result.stderr
+    for name in (
+        "calibration_from_oracle_matches",
+        "bfgs_solver_full_gradient",
+        "bfgs_solver_only_error_gradient",
+        "mlp_guess",
+    ):
+        assert name in result.stdout
+
+
+def test_cli_unknown_command_fails():
+    result = _run_cli("explode")
+    assert result.returncode != 0
