@@ -127,7 +127,10 @@ def get_camera_relative_points(
     overall_scale = (points_scale * num_points + camera_scale * num_views) / (
         num_points + num_views
     )
-    overall_scale = overall_scale[..., None, None, None]
+    # Guard a degenerate all-zero scene (e.g. an untrained guess network):
+    # without the floor the rescale divides by ~0 and the whole solve NaNs
+    # in float32 (the reference divides unguarded, ``:103-104``).
+    overall_scale = jnp.maximum(overall_scale, 1e-6)[..., None, None, None]
     world_points = world_points / overall_scale
     camera_translations = camera_translations / overall_scale
     rotated = rotate_vector_axis_angle(world_points, camera_rotations)

@@ -14,6 +14,12 @@ from .optimisation import (
 from .presets import PRESETS, get_preset
 from .checkpoint import save_checkpoint, restore_checkpoint, latest_step
 from .metrics import MetricsLogger, weight_summaries
+from .vo_eval import (
+    TrajectoryConfig,
+    generate_trajectory,
+    solve_windowed_vo,
+    evaluate_vo,
+)
 from .evaluation import (
     camera_centers_from_poses,
     umeyama_alignment,
@@ -38,6 +44,10 @@ __all__ = [
     "latest_step",
     "MetricsLogger",
     "weight_summaries",
+    "TrajectoryConfig",
+    "generate_trajectory",
+    "solve_windowed_vo",
+    "evaluate_vo",
     "camera_centers_from_poses",
     "umeyama_alignment",
     "absolute_trajectory_error",

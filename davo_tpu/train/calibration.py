@@ -60,6 +60,9 @@ class CalibrationExperiment:
     epochs: int = 50
     learning_rate: float = 1e-4
     weight_decay: float = 0.01
+    # Gradients through the unrolled solve are heavy-tailed (norms in the
+    # thousands at init); clipping is essential for stable training.
+    clip_norm: float = 1.0
     seed: int = 0
     dtype: Any = jnp.float32
     scene: Optional[SceneConfig] = None
@@ -114,7 +117,10 @@ def create_train_state(
         sample.visibility_mask,
         training=False,
     )
-    tx = optax.adamw(config.learning_rate, weight_decay=config.weight_decay)
+    tx = optax.chain(
+        optax.clip_by_global_norm(config.clip_norm),
+        optax.adamw(config.learning_rate, weight_decay=config.weight_decay),
+    )
     return network, TrainState.create(
         apply_fn=network.apply,
         params=variables["params"],

@@ -39,6 +39,7 @@ class OptimisationExperiment:
     epochs: int = 50
     learning_rate: float = 1e-4
     weight_decay: float = 0.01
+    clip_norm: float = 1.0
     seed: int = 0
     dtype: Any = jnp.float32
     ba: PinholeBAConfig = PinholeBAConfig(constrain=True)
@@ -81,7 +82,10 @@ def create_optimisation_state(config: OptimisationExperiment, key: jax.Array):
         sample.visibility_mask,
         training=False,
     )
-    tx = optax.adamw(config.learning_rate, weight_decay=config.weight_decay)
+    tx = optax.chain(
+        optax.clip_by_global_norm(config.clip_norm),
+        optax.adamw(config.learning_rate, weight_decay=config.weight_decay),
+    )
     return model, TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
