@@ -9,6 +9,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from davo_tpu.utils.guards import safe_norm
+
 __all__ = [
     "projective_plane_angle_distance",
     "projective_plane_cosine_distance",
@@ -40,8 +42,11 @@ def projective_plane_angle_distance(
     """
     a = _normalise(projective_points_a)
     b = _normalise(projective_points_b)
-    diff = jnp.linalg.norm(a - b, axis=-1, keepdims=keepdim)
-    summ = jnp.linalg.norm(a + b, axis=-1, keepdims=keepdim)
+    # safe_norm: at an exact zero distance (or exactly opposite vectors)
+    # the norm's derivative is taken as 0 instead of NaN, so perfectly
+    # matched observations don't poison the objective's gradient.
+    diff = safe_norm(a - b, keepdims=keepdim)
+    summ = safe_norm(a + b, keepdims=keepdim)
     return 2.0 * jnp.arctan2(diff, summ)
 
 

@@ -42,8 +42,12 @@ def _flash_kernel(
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
-        k = jax.lax.dynamic_slice_in_dim(k_ref[0], i * block_k, block_k, 0)
-        v = jax.lax.dynamic_slice_in_dim(v_ref[0], i * block_k, block_k, 0)
+        # pl.ds ref-indexing (not lax.dynamic_slice on a loaded array):
+        # the latter has no Mosaic lowering on all TPU toolchains.
+        from jax.experimental import pallas as pl
+
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         scores = (
             jax.lax.dot_general(
                 q,

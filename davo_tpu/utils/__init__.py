@@ -6,6 +6,7 @@ from .stable_trig import (
 )
 from .guards import (
     safe_reciprocal,
+    safe_norm,
     inverse_curvature,
     interpolate_alpha,
     project_vector_onto_axis,
@@ -25,6 +26,7 @@ __all__ = [
     "cos_x_on_x_squared_minus_sin_x_on_x_cubed",
     "sin_x_on_x_cubed_minus_two_one_minus_cos_x_on_x_fourth",
     "safe_reciprocal",
+    "safe_norm",
     "inverse_curvature",
     "interpolate_alpha",
     "project_vector_onto_axis",

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "safe_reciprocal",
+    "safe_norm",
     "inverse_curvature",
     "interpolate_alpha",
     "project_vector_onto_axis",
@@ -34,6 +35,38 @@ def _safe_reciprocal_jvp(primals, tangents):
     (t,) = tangents
     r = safe_reciprocal(x)
     return r, -t * r * r
+
+
+@jax.custom_jvp
+def _safe_norm_last(x):
+    """L2 norm over the last axis (keepdims) whose derivative is the unit
+    vector away from 0 and exactly **zero at 0** (the subgradient choice).
+
+    ``jnp.linalg.norm`` yields NaN cotangents at the origin — fatal when a
+    distance objective reaches an exact zero residual (every perfectly
+    matched observation then poisons the whole batch gradient).
+    """
+    return jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True))
+
+
+@_safe_norm_last.defjvp
+def _safe_norm_last_jvp(primals, tangents):
+    (x,) = primals
+    (t,) = tangents
+    norm = _safe_norm_last(x)
+    nonzero = norm > 0.0
+    inv = jnp.where(nonzero, 1.0 / jnp.where(nonzero, norm, 1.0), 0.0)
+    return norm, jnp.sum(x * t, axis=-1, keepdims=True) * inv
+
+
+def safe_norm(x, axis: int = -1, keepdims: bool = False):
+    """Gradient-safe L2 norm (zero derivative at the origin)."""
+    if axis != -1:
+        x = jnp.moveaxis(x, axis, -1)
+    out = _safe_norm_last(x)
+    if not keepdims:
+        out = out[..., 0]
+    return out
 
 
 @jax.custom_jvp
