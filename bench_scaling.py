@@ -1,0 +1,90 @@
+"""Scaling benchmark: frames/s efficiency of the data-parallel training
+step across mesh sizes (BASELINE.md reporting points: 1 chip / 1 host /
+N hosts).
+
+Weak scaling: the per-device problem count is fixed, so ideal scaling is
+throughput(N) = N * throughput(1) and efficiency = throughput(N) /
+(N * throughput(1)).
+
+Prints one JSON line per mesh size plus a summary line.  On a single-chip
+or virtual-CPU environment the numbers exercise the mechanism; real
+efficiency figures require a pod slice.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+from davo_tpu.solve import BFGSConfig
+from davo_tpu.train import CalibrationExperiment, create_train_state
+from davo_tpu.parallel import make_mesh, make_dp_train_step, replicate
+
+PER_DEVICE_BATCH = 64
+
+
+def _config(batch_size: int) -> CalibrationExperiment:
+    return CalibrationExperiment(
+        num_views=4,
+        num_points=8,
+        hidden_size=256,
+        batch_size=batch_size,
+        solver=BFGSConfig(
+            error_threshold=1e-7,
+            training_error_threshold=1e-3,
+            iterations=5,
+            training_iterations=5,
+            drop_path_p=0.1,
+            line_search_iterations=8,
+        ),
+    )
+
+
+def measure(n_devices: int) -> float:
+    config = _config(PER_DEVICE_BATCH * n_devices)
+    mesh = make_mesh(n_devices)
+    network, state = create_train_state(config, jax.random.key(0))
+    state = replicate(state, mesh)
+    step = make_dp_train_step(network, config, mesh)
+    key = replicate(jax.random.key(1), mesh)
+    state, _ = step(state, key)  # compile
+    jax.block_until_ready(state.params)
+    runs = []
+    for i in range(3):
+        start = time.perf_counter()
+        state, _ = step(state, jax.random.fold_in(key, i))
+        jax.block_until_ready(state.params)
+        runs.append(time.perf_counter() - start)
+    return config.batch_size / min(runs)
+
+
+def main():
+    available = len(jax.devices())
+    sizes = sorted({1, 2, available} & set(range(1, available + 1)))
+    results = {}
+    for n in sizes:
+        fps = measure(n)
+        results[n] = fps
+        print(
+            json.dumps(
+                {"mesh_devices": n, "frames_per_s": round(fps, 1)}
+            ),
+            flush=True,
+        )
+    base = results[sizes[0]]
+    summary = {
+        "metric": "frames_per_s_scaling_efficiency",
+        "value": round(results[sizes[-1]] / (sizes[-1] * base), 3),
+        "unit": f"efficiency at {sizes[-1]} devices (weak scaling, "
+        f"{PER_DEVICE_BATCH} problems/device)",
+        "vs_baseline": round(results[sizes[-1]] / base, 3),
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

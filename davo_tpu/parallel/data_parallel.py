@@ -17,23 +17,23 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from davo_tpu.data import generate_batch
-from davo_tpu.train.calibration import (
-    CalibrationExperiment,
-    TrainState,
-    _loss_and_metrics,
-)
 from .mesh import DATA_AXIS
 
 __all__ = ["make_dp_train_step"]
 
 
-def make_dp_train_step(network, config: CalibrationExperiment, mesh: Mesh):
+def make_dp_train_step(network, config, mesh: Mesh):
     """A jitted data-parallel train step over ``mesh``.
 
     State is replicated; the generated batch is constrained to be sharded
     batch-dim-first along the ``data`` axis so XLA partitions generation,
     the forward solve, and the backward pass, then all-reduces gradients.
+
+    ``config`` is a :class:`davo_tpu.train.CalibrationExperiment` (imported
+    lazily — the train package itself builds on this parallel package).
     """
+    from davo_tpu.train.calibration import TrainState, _loss_and_metrics
+
     scene_cfg = config.resolved_scene()
     batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
     replicated = NamedSharding(mesh, P())
