@@ -80,16 +80,27 @@ def main(argv=None):
     from davo_tpu.train.metrics import MetricsLogger
 
     config = _apply_overrides(get_preset(args.preset), args)
-    if not isinstance(config, CalibrationExperiment):
-        print(
-            f"preset {args.preset!r} uses the gen-1 optimisation harness; "
-            "the fit loop currently drives CalibrationExperiment presets — "
-            "use davo_tpu.train.make_optimisation_train_step directly.",
-            file=sys.stderr,
-        )
-        return 2
-
     logger = MetricsLogger(args.metrics_file)
+
+    if not isinstance(config, CalibrationExperiment):
+        # gen-1 optimisation harness presets
+        from davo_tpu.train import fit_optimisation
+
+        if args.command != "fit":
+            print(
+                f"preset {args.preset!r} supports 'fit' only", file=sys.stderr
+            )
+            return 2
+        state, history = fit_optimisation(config, log_fn=logger)
+        if args.checkpoint_dir:
+            path = save_checkpoint(
+                args.checkpoint_dir,
+                len(history["train"]),
+                {"params": state.params, "batch_stats": state.batch_stats},
+            )
+            print(f"checkpoint: {path}")
+        print(json.dumps({"final_train": history["train"][-1]}))
+        return 0
 
     if args.command == "fit":
         state, history = fit(config, log_fn=logger)
@@ -105,7 +116,11 @@ def main(argv=None):
         return 0
 
     # eval
-    from davo_tpu.train import create_train_state, make_eval_step
+    from davo_tpu.train import (
+        create_train_state,
+        make_eval_step,
+        evaluate_calibration_ate,
+    )
     import jax.numpy as jnp
 
     key = jax.random.key(config.seed)
@@ -120,6 +135,11 @@ def main(argv=None):
     for i in range(args.batches):
         metrics.append(eval_step(state, jax.random.fold_in(key, 1000 + i)))
     avg = {k: float(jnp.mean(jnp.stack([m[k] for m in metrics]))) for k in metrics[0]}
+    avg.update(
+        evaluate_calibration_ate(
+            network, state, config, jax.random.fold_in(key, 7), batches=4
+        )
+    )
     print(json.dumps(avg))
     return 0
 

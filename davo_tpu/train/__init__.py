@@ -4,12 +4,14 @@ from .calibration import (
     create_train_state,
     make_train_step,
     make_eval_step,
+    evaluate_calibration_ate,
     fit,
 )
 from .optimisation import (
     OptimisationExperiment,
     create_optimisation_state,
     make_optimisation_train_step,
+    fit_optimisation,
 )
 from .presets import PRESETS, get_preset
 from .checkpoint import save_checkpoint, restore_checkpoint, latest_step
@@ -33,10 +35,12 @@ __all__ = [
     "create_train_state",
     "make_train_step",
     "make_eval_step",
+    "evaluate_calibration_ate",
     "fit",
     "OptimisationExperiment",
     "create_optimisation_state",
     "make_optimisation_train_step",
+    "fit_optimisation",
     "PRESETS",
     "get_preset",
     "save_checkpoint",

@@ -225,6 +225,76 @@ def make_eval_step(network: CalibrationNetwork, config: CalibrationExperiment):
     return eval_step
 
 
+def evaluate_calibration_ate(
+    network: CalibrationNetwork,
+    state: TrainState,
+    config: CalibrationExperiment,
+    key: jax.Array,
+    batches: int = 4,
+) -> Dict[str, float]:
+    """Accuracy of the solved scenes against ground truth: per-scene ATE
+    of the recovered camera trajectory (after similarity alignment — the
+    estimate is gauge-free) plus intrinsics errors.
+
+    This is the BASELINE.md accuracy metric on the synthetic oracle-match
+    sequences.
+    """
+    from davo_tpu.camera import unpack_calibration_parameters
+    from .evaluation import (
+        absolute_trajectory_error,
+        camera_centers_from_poses,
+    )
+
+    scene_cfg = config.resolved_scene()
+
+    @jax.jit
+    def solve_batch(batch_key):
+        batch = generate_batch(batch_key, config.batch_size, scene_cfg)
+        predictions = network.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch.projected_points,
+            batch.visibility_mask,
+            training=False,
+        )
+        unpacked = unpack_calibration_parameters(
+            predictions, network.num_views, network.num_points
+        )
+        est_orient = unpacked.camera_rotations[:, :, 0, :]
+        est_trans = unpacked.camera_translations[:, :, 0, :]
+        zero = jnp.zeros_like(est_orient[:, :1])
+        est_centres = camera_centers_from_poses(
+            jnp.concatenate([zero, est_orient], axis=1),
+            jnp.concatenate([zero, est_trans], axis=1),
+        )
+        true_centres = camera_centers_from_poses(
+            jnp.concatenate([zero, batch.camera_orientations], axis=1),
+            jnp.concatenate([zero, batch.camera_translations], axis=1),
+        )
+        rmse = jax.vmap(
+            lambda e, t: absolute_trajectory_error(e, t)["rmse"]
+        )(est_centres, true_centres)
+        pred_f = jax.nn.elu(unpacked.intrinsics[..., 0, 0, 0]) + 1.0
+        f_err = jnp.abs(pred_f - batch.camera_intrinsics[:, 0])
+        c_err = jnp.abs(
+            unpacked.intrinsics[:, 0, 0, 1:] - batch.camera_intrinsics[:, 1:]
+        )
+        return rmse, f_err, c_err
+
+    rmses, f_errs, c_errs = [], [], []
+    for i in range(batches):
+        rmse, f_err, c_err = solve_batch(jax.random.fold_in(key, i))
+        rmses.append(rmse)
+        f_errs.append(f_err)
+        c_errs.append(c_err)
+    rmses = jnp.concatenate(rmses)
+    return {
+        "ate_rmse_mean": float(jnp.mean(rmses)),
+        "ate_rmse_median": float(jnp.median(rmses)),
+        "f_error_mean": float(jnp.mean(jnp.concatenate(f_errs))),
+        "centre_error_mean": float(jnp.mean(jnp.concatenate(c_errs))),
+    }
+
+
 def fit(
     config: CalibrationExperiment,
     *,

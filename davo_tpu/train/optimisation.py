@@ -24,7 +24,12 @@ from davo_tpu.camera import PinholeBAConfig
 from davo_tpu.models import GuessAndSolverModel, PinholeMLPGuess
 from .calibration import TrainState
 
-__all__ = ["OptimisationExperiment", "create_optimisation_state", "make_optimisation_train_step"]
+__all__ = [
+    "OptimisationExperiment",
+    "create_optimisation_state",
+    "make_optimisation_train_step",
+    "fit_optimisation",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -139,3 +144,34 @@ def make_optimisation_train_step(model, config: OptimisationExperiment):
         return state.apply_gradients(grads=grads, batch_stats=new_stats), metrics
 
     return train_step
+
+
+def fit_optimisation(
+    config: OptimisationExperiment,
+    *,
+    epochs: Optional[int] = None,
+    log_fn: Optional[Callable[[str, int, Dict[str, float]], None]] = None,
+):
+    """Train a gen-1 guess(+solver) model; returns (state, history)."""
+    key = jax.random.key(config.seed)
+    init_key, key = jax.random.split(key)
+    model, state = create_optimisation_state(config, init_key)
+    train_step = make_optimisation_train_step(model, config)
+    history = {"train": []}
+    num_epochs = epochs if epochs is not None else config.epochs
+    for epoch in range(num_epochs):
+        start = time.time()
+        metrics = []
+        for _ in range(config.batches_per_epoch):
+            key, step_key = jax.random.split(key)
+            state, m = train_step(state, step_key)
+            metrics.append(m)
+        avg = {
+            k: float(jnp.mean(jnp.stack([m[k] for m in metrics])))
+            for k in metrics[0]
+        }
+        avg["epoch_seconds"] = time.time() - start
+        history["train"].append(avg)
+        if log_fn is not None:
+            log_fn("train", epoch, avg)
+    return state, history
