@@ -285,10 +285,13 @@ def ba_error(
     residuals = uv - data.true_projected_points
     vis = data.visibility_mask.astype(uv.dtype)
     scale = _error_scale(params.num_views, params.num_points)
+    # visibility weights the per-residual *error terms* (norm first, then
+    # weight) — the same convention as the analytic gradient path, so the
+    # two functions agree for fractional visibility weights too.
     err_u, err_v, _, _ = _residual_norms(
-        residuals[..., 0] * vis, residuals[..., 1] * vis, config
+        residuals[..., 0], residuals[..., 1], config
     )
-    return scale * jnp.sum(err_u + err_v, axis=(-1, -2))
+    return scale * jnp.sum((err_u + err_v) * vis, axis=(-1, -2))
 
 
 def ba_error_and_gradient(

@@ -60,7 +60,16 @@ def main(argv=None):
         return 0
 
     if args.command == "bench":
-        import bench  # repo-root benchmark
+        # bench.py lives at the repo root (next to the package), which is
+        # not necessarily on sys.path when invoked from elsewhere.
+        import os
+
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        )
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        import bench
 
         bench.main()
         return 0

@@ -143,14 +143,12 @@ class PinholeTransformerGuess(nn.Module):
     ) -> PinholeBAParams:
         b = projected_points.shape[0]
         m, n, d = self.num_views, self.num_points, self.embed_dim
-        # Fixed random-orthonormal pixel embedding (not trained).
-        pixel_proj = self.variable(
-            "constants",
-            "pixel_projection",
-            lambda: jnp.linalg.qr(
-                jax.random.normal(jax.random.key(0), (d, d))
-            )[0][:, :2],
-        ).value
+        # Fixed random-orthonormal pixel embedding (not trained); computed
+        # inline from a constant key rather than stored in a variable
+        # collection, so checkpoints carrying only params/batch_stats work.
+        pixel_proj = jnp.linalg.qr(
+            jax.random.normal(jax.random.key(0), (d, d))
+        )[0][:, :2]
         tokens = jnp.einsum(
             "bmnc,dc->bmnd", projected_points, pixel_proj
         )

@@ -24,7 +24,6 @@ weighting (``loss="l1"``).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -121,6 +120,12 @@ def ba_residuals(
     return (uv - obs.pixels) * vis
 
 
+def _weighted_cost(problem, obs, config) -> jax.Array:
+    r = ba_residuals(problem, obs, config)
+    w = _irls_weights(r, config)
+    return 0.5 * jnp.sum(jnp.square(r * w))
+
+
 def _jacobian_blocks(problem: BAProblem, obs: BAObservations, config: SchurConfig):
     """Residuals + analytic Jacobian blocks.
 
@@ -178,23 +183,30 @@ def _camera_dim(num_views: int) -> int:
     return 3 + 6 * num_views
 
 
-def _local_reductions(problem, obs, config, intr_free, pose_free, point_free):
-    """Everything computable from a local shard of points: the shard's
-    contribution to the reduced camera system + local point elimination
-    factors."""
+def _local_reduction(problem, obs, config, gauge_masks, damping):
+    """The per-shard half of a Schur step: IRLS-weighted, gauge-masked
+    Jacobian blocks reduced into this shard's contribution to the reduced
+    camera system plus the local point-elimination factors.
+
+    Works on whatever slice of points ``problem``/``obs`` hold (the full
+    problem on one device, or a shard inside ``shard_map``).
+
+    :return: ``(s_part, rhs_part, h_cp, c_inv, g_p)``.
+    """
+    intr_free, pose_free, point_free = gauge_masks
     m = problem.poses.shape[0]
     r, j_intr, j_pose, j_point = _jacobian_blocks(problem, obs, config)
     w_irls = _irls_weights(r, config)
     r = r * w_irls
-    j_intr = j_intr * w_irls[..., None]
-    j_pose = j_pose * w_irls[..., None]
-    j_point = j_point * w_irls[..., None]
-
-    # mask out gauge-fixed columns
-    j_intr = j_intr * intr_free.astype(j_intr.dtype)[None, None, None, :]
-    j_pose = j_pose * pose_free.astype(j_pose.dtype)[:, None, None, :]
-    j_point = j_point * point_free.astype(j_point.dtype)[None, :, None, :]
-
+    j_intr = j_intr * w_irls[..., None] * intr_free.astype(r.dtype)
+    j_pose = (
+        j_pose * w_irls[..., None] * pose_free.astype(r.dtype)[:, None, None, :]
+    )
+    j_point = (
+        j_point
+        * w_irls[..., None]
+        * point_free.astype(r.dtype)[None, :, None, :]
+    )
     # dense camera Jacobian (M, N, 2, 3 + 6M): pose block one-hot by view
     eye_m = jnp.eye(m, dtype=j_pose.dtype)
     j_pose_dense = jnp.einsum("mnrp,mv->mnrvp", j_pose, eye_m).reshape(
@@ -204,21 +216,32 @@ def _local_reductions(problem, obs, config, intr_free, pose_free, point_free):
 
     h_cc = jnp.einsum("mnrc,mnrd->cd", j_cam, j_cam)
     g_c = jnp.einsum("mnrc,mnr->c", j_cam, r)
-    # per-point blocks (sum over views)
     h_cp = jnp.einsum("mnrc,mnrp->ncp", j_cam, j_point)
     c_blk = jnp.einsum("mnrp,mnrq->npq", j_point, j_point)
     g_p = jnp.einsum("mnrp,mnr->np", j_point, r)
 
     # damping + gauge pinning of the point blocks
-    pin = jnp.where(point_free, config.damping, _PIN_WEIGHT)
+    pin = jnp.where(point_free, damping, _PIN_WEIGHT)
     c_blk = c_blk + jax.vmap(jnp.diag)(pin.astype(c_blk.dtype))
     c_inv = jnp.linalg.inv(c_blk)
 
-    # shard contributions to the Schur complement
     s_part = h_cc - jnp.einsum("ncp,npq,ndq->cd", h_cp, c_inv, h_cp)
     rhs_part = -g_c + jnp.einsum("ncp,npq,nq->c", h_cp, c_inv, g_p)
-    cost = 0.5 * jnp.sum(jnp.square(r))
-    return s_part, rhs_part, h_cp, c_inv, g_p, cost
+    return s_part, rhs_part, h_cp, c_inv, g_p
+
+
+def _solve_camera_and_points(s, rhs, h_cp, c_inv, g_p, gauge_masks, damping, m):
+    """The replicated half: solve the (damped) reduced camera system and
+    back-substitute the local point deltas."""
+    intr_free, pose_free, point_free = gauge_masks
+    s = s + damping * jnp.eye(_camera_dim(m), dtype=s.dtype)
+    dc = jnp.linalg.solve(s, rhs)
+    dc = dc * jnp.concatenate([intr_free, pose_free.reshape(-1)]).astype(dc.dtype)
+    dp = jnp.einsum(
+        "npq,nq->np", c_inv, -g_p - jnp.einsum("ncp,c->np", h_cp, dc)
+    )
+    dp = dp * point_free.astype(dp.dtype)
+    return dc, dp
 
 
 def _apply_camera_delta(problem: BAProblem, dc: jax.Array) -> BAProblem:
@@ -226,6 +249,20 @@ def _apply_camera_delta(problem: BAProblem, dc: jax.Array) -> BAProblem:
     return problem._replace(
         intrinsics=problem.intrinsics + dc[0:3],
         poses=problem.poses + dc[3:].reshape(m, 6),
+    )
+
+
+def _damped_step(problem, obs, config, damping, gauge_masks) -> BAProblem:
+    """One Schur GN step with a runtime (traced) damping value."""
+    m = problem.poses.shape[0]
+    s, rhs, h_cp, c_inv, g_p = _local_reduction(
+        problem, obs, config, gauge_masks, damping
+    )
+    dc, dp = _solve_camera_and_points(
+        s, rhs, h_cp, c_inv, g_p, gauge_masks, damping, m
+    )
+    return _apply_camera_delta(problem, dc)._replace(
+        points=problem.points + dp
     )
 
 
@@ -242,24 +279,39 @@ def schur_normal_step(
     m, n = obs.pixels.shape[0], obs.pixels.shape[1]
     if gauge_masks is None:
         gauge_masks = default_gauge_masks(m, n)
-    intr_free, pose_free, point_free = gauge_masks
-    s, rhs, h_cp, c_inv, g_p, cost = _local_reductions(
-        problem, obs, config, intr_free, pose_free, point_free
-    )
-    cdim = _camera_dim(m)
-    s = s + config.damping * jnp.eye(cdim, dtype=s.dtype)
-    dc = jnp.linalg.solve(s, rhs)
-    dc = dc * jnp.concatenate(
-        [intr_free, pose_free.reshape(-1)]
-    ).astype(dc.dtype)
-    dp = jnp.einsum(
-        "npq,nq->np", c_inv, -g_p - jnp.einsum("ncp,c->np", h_cp, dc)
-    )
-    dp = dp * point_free.astype(dp.dtype)
-    new_problem = _apply_camera_delta(problem, dc)._replace(
-        points=problem.points + dp
+    cost = _weighted_cost(problem, obs, config)
+    new_problem = _damped_step(
+        problem, obs, config, jnp.asarray(config.damping), gauge_masks
     )
     return new_problem, cost
+
+
+def _lm_loop(problem, config, step_fn, cost_fn):
+    """Shared LM acceptance loop: take a candidate step, keep it only if
+    the cost improves, and adapt the damping.  The accepted cost is
+    carried so each iteration evaluates the objective once."""
+
+    def body(carry, _):
+        prob, cost, damping = carry
+        candidate = step_fn(prob, damping)
+        cand_cost = cost_fn(candidate)
+        improved = cand_cost < cost
+        new_prob = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(improved, a, b), candidate, prob
+        )
+        new_cost = jnp.where(improved, cand_cost, cost)
+        new_damping = jnp.clip(
+            jnp.where(improved, damping * 0.3, damping * 5.0), 1e-10, 1e8
+        )
+        return (new_prob, new_cost, new_damping), None
+
+    init = (
+        problem,
+        cost_fn(problem),
+        jnp.asarray(config.damping, problem.points.dtype),
+    )
+    (final, _, _), _ = jax.lax.scan(body, init, None, length=config.iterations)
+    return final
 
 
 def schur_ba_solve(
@@ -273,66 +325,12 @@ def schur_ba_solve(
     m, n = obs.pixels.shape[0], obs.pixels.shape[1]
     if gauge_masks is None:
         gauge_masks = default_gauge_masks(m, n)
-
-    def cost_of(p):
-        r = ba_residuals(p, obs, config)
-        w = _irls_weights(r, config)
-        return 0.5 * jnp.sum(jnp.square(r * w))
-
-    def body(carry, _):
-        prob, damping = carry
-        candidate = _damped_step(prob, obs, config, damping, gauge_masks)
-        improved = cost_of(candidate) < cost_of(prob)
-        new_prob = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(improved, a, b), candidate, prob
-        )
-        new_damping = jnp.where(improved, damping * 0.3, damping * 5.0)
-        new_damping = jnp.clip(new_damping, 1e-10, 1e8)
-        return (new_prob, new_damping), None
-
-    init = (problem, jnp.asarray(config.damping, problem.points.dtype))
-    (final, _), _ = jax.lax.scan(body, init, None, length=config.iterations)
-    return final
-
-
-def _damped_step(problem, obs, config, damping, gauge_masks):
-    """A Schur step with a runtime (traced) damping value."""
-    intr_free, pose_free, point_free = gauge_masks
-    m = problem.poses.shape[0]
-    r, j_intr, j_pose, j_point = _jacobian_blocks(problem, obs, config)
-    w_irls = _irls_weights(r, config)
-    r = r * w_irls
-    j_intr = j_intr * w_irls[..., None] * intr_free.astype(r.dtype)
-    j_pose = (
-        j_pose * w_irls[..., None] * pose_free.astype(r.dtype)[:, None, None, :]
+    return _lm_loop(
+        problem,
+        config,
+        lambda prob, damping: _damped_step(prob, obs, config, damping, gauge_masks),
+        lambda prob: _weighted_cost(prob, obs, config),
     )
-    j_point = (
-        j_point
-        * w_irls[..., None]
-        * point_free.astype(r.dtype)[None, :, None, :]
-    )
-    eye_m = jnp.eye(m, dtype=j_pose.dtype)
-    j_pose_dense = jnp.einsum("mnrp,mv->mnrvp", j_pose, eye_m).reshape(
-        j_pose.shape[:3] + (6 * m,)
-    )
-    j_cam = jnp.concatenate([j_intr, j_pose_dense], axis=-1)
-    h_cc = jnp.einsum("mnrc,mnrd->cd", j_cam, j_cam)
-    g_c = jnp.einsum("mnrc,mnr->c", j_cam, r)
-    h_cp = jnp.einsum("mnrc,mnrp->ncp", j_cam, j_point)
-    c_blk = jnp.einsum("mnrp,mnrq->npq", j_point, j_point)
-    g_p = jnp.einsum("mnrp,mnr->np", j_point, r)
-    pin = jnp.where(point_free, damping, _PIN_WEIGHT)
-    c_blk = c_blk + jax.vmap(jnp.diag)(pin.astype(c_blk.dtype))
-    c_inv = jnp.linalg.inv(c_blk)
-    s = h_cc - jnp.einsum("ncp,npq,ndq->cd", h_cp, c_inv, h_cp)
-    rhs = -g_c + jnp.einsum("ncp,npq,nq->c", h_cp, c_inv, g_p)
-    cdim = _camera_dim(m)
-    s = s + damping * jnp.eye(cdim, dtype=s.dtype)
-    dc = jnp.linalg.solve(s, rhs)
-    dc = dc * jnp.concatenate([intr_free, pose_free.reshape(-1)]).astype(dc.dtype)
-    dp = jnp.einsum("npq,nq->np", c_inv, -g_p - jnp.einsum("ncp,c->np", h_cp, dc))
-    dp = dp * point_free.astype(dp.dtype)
-    return _apply_camera_delta(problem, dc)._replace(points=problem.points + dp)
 
 
 def distributed_schur_ba(
@@ -370,54 +368,20 @@ def distributed_schur_ba(
     def local_step(intr, poses, points, pixels, vis, pfree, damping):
         prob = BAProblem(intr, poses, points)
         local_obs = BAObservations(pixels, vis)
-        masks = (intr_free, pose_free, pfree)
-        r, j_intr, j_pose, j_point = _jacobian_blocks(prob, local_obs, config)
-        w_irls = _irls_weights(r, config)
-        r = r * w_irls
-        j_intr = j_intr * w_irls[..., None] * intr_free.astype(r.dtype)
-        j_pose = (
-            j_pose
-            * w_irls[..., None]
-            * pose_free.astype(r.dtype)[:, None, None, :]
+        shard_masks = (intr_free, pose_free, pfree)
+        s_part, rhs_part, h_cp, c_inv, g_p = _local_reduction(
+            prob, local_obs, config, shard_masks, damping
         )
-        j_point = (
-            j_point * w_irls[..., None] * pfree.astype(r.dtype)[None, :, None, :]
-        )
-        eye_m = jnp.eye(m, dtype=j_pose.dtype)
-        j_pose_dense = jnp.einsum("mnrp,mv->mnrvp", j_pose, eye_m).reshape(
-            j_pose.shape[:3] + (6 * m,)
-        )
-        j_cam = jnp.concatenate([j_intr, j_pose_dense], axis=-1)
-        h_cc = jnp.einsum("mnrc,mnrd->cd", j_cam, j_cam)
-        g_c = jnp.einsum("mnrc,mnr->c", j_cam, r)
-        h_cp = jnp.einsum("mnrc,mnrp->ncp", j_cam, j_point)
-        c_blk = jnp.einsum("mnrp,mnrq->npq", j_point, j_point)
-        g_p = jnp.einsum("mnrp,mnr->np", j_point, r)
-        pin = jnp.where(pfree, damping, _PIN_WEIGHT)
-        c_blk = c_blk + jax.vmap(jnp.diag)(pin.astype(c_blk.dtype))
-        c_inv = jnp.linalg.inv(c_blk)
-        s_part = h_cc - jnp.einsum("ncp,npq,ndq->cd", h_cp, c_inv, h_cp)
-        rhs_part = -g_c + jnp.einsum("ncp,npq,nq->c", h_cp, c_inv, g_p)
-
         # the only cross-device communication: the reduced camera system
+        # and the scalar cost
         s = jax.lax.psum(s_part, axis_name)
         rhs = jax.lax.psum(rhs_part, axis_name)
-        s = s + damping * jnp.eye(_camera_dim(m), dtype=s.dtype)
-        dc = jnp.linalg.solve(s, rhs)
-        dc = dc * jnp.concatenate(
-            [intr_free, pose_free.reshape(-1)]
-        ).astype(dc.dtype)
-        dp = jnp.einsum(
-            "npq,nq->np", c_inv, -g_p - jnp.einsum("ncp,c->np", h_cp, dc)
+        dc, dp = _solve_camera_and_points(
+            s, rhs, h_cp, c_inv, g_p, shard_masks, damping, m
         )
-        dp = dp * pfree.astype(dp.dtype)
-        cost_part = 0.5 * jnp.sum(jnp.square(r))
-        cost = jax.lax.psum(cost_part, axis_name)
-        return dc, points + dp, cost
+        return dc, points + dp
 
-    shard_map = jax.shard_map
-
-    sharded_step = shard_map(
+    sharded_step = jax.shard_map(
         local_step,
         mesh=mesh,
         in_specs=(
@@ -429,17 +393,11 @@ def distributed_schur_ba(
             sharded_points,
             replicated,
         ),
-        out_specs=(replicated, sharded_points, replicated),
+        out_specs=(replicated, sharded_points),
     )
 
-    def cost_of(prob):
-        r = ba_residuals(prob, obs, config)
-        w = _irls_weights(r, config)
-        return 0.5 * jnp.sum(jnp.square(r * w))
-
-    def body(carry, _):
-        prob, damping = carry
-        dc, new_points, _ = sharded_step(
+    def step_fn(prob, damping):
+        dc, new_points = sharded_step(
             prob.intrinsics,
             prob.poses,
             prob.points,
@@ -448,16 +406,11 @@ def distributed_schur_ba(
             point_free,
             damping,
         )
-        candidate = _apply_camera_delta(prob, dc)._replace(points=new_points)
-        improved = cost_of(candidate) < cost_of(prob)
-        new_prob = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(improved, a, b), candidate, prob
-        )
-        new_damping = jnp.clip(
-            jnp.where(improved, damping * 0.3, damping * 5.0), 1e-10, 1e8
-        )
-        return (new_prob, new_damping), None
+        return _apply_camera_delta(prob, dc)._replace(points=new_points)
 
-    init = (problem, jnp.asarray(config.damping, problem.points.dtype))
-    (final, _), _ = jax.lax.scan(body, init, None, length=config.iterations)
-    return final
+    return _lm_loop(
+        problem,
+        config,
+        step_fn,
+        lambda prob: _weighted_cost(prob, obs, config),
+    )

@@ -217,7 +217,6 @@ def bfgs_solve(
             params=params,
             error=jnp.zeros(batch_shape, dtype=dtype),
             gradient=jnp.zeros_like(params),
-            prev_gradient=jnp.zeros_like(params),
             inverse_hessian=jnp.broadcast_to(
                 jnp.eye(params.shape[-1], dtype=dtype),
                 batch_shape + (params.shape[-1], params.shape[-1]),
@@ -317,7 +316,6 @@ def bfgs_solve(
             params=params,
             error=error,
             gradient=gradient,
-            prev_gradient=prev_gradient,
             inverse_hessian=inverse_hessian,
             step=step,
             updating=updating,

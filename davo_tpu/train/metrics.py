@@ -47,7 +47,7 @@ def weight_summaries(params) -> Dict[str, Dict[str, float]]:
     out = {}
     for path, leaf in jax.tree_util.tree_leaves_with_path(params):
         name = "/".join(
-            getattr(p, "key", getattr(p, "idx", str(p))) for p in path
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path
         )
         leaf = jnp.asarray(leaf)
         out[name] = {

@@ -92,14 +92,11 @@ def generate_trajectory(key: jax.Array, config: TrajectoryConfig):
         ],
         axis=-1,
     )
-    # look-at: forward toward the origin, up = -y
-    forward = -centres / jnp.linalg.norm(centres, axis=-1, keepdims=True)
-    up_ref = jnp.asarray([0.0, -1.0, 0.0])
-    up = up_ref - forward * jnp.sum(forward * up_ref, axis=-1, keepdims=True)
-    up = up / jnp.linalg.norm(up, axis=-1, keepdims=True)
-    down = -up
-    right = jnp.cross(down, forward)
-    rot = jnp.stack([right, down, forward], axis=-2)  # (K, 3, 3)
+    # look-at toward the origin with world-up = -y (shared right-handed
+    # construction from the data generator)
+    from davo_tpu.data.synthetic import _look_at_rotation
+
+    rot = _look_at_rotation(-centres, jnp.asarray([0.0, -1.0, 0.0]))
     poses = _pose_from_matrix(rot, centres)
 
     rel = (
@@ -233,9 +230,4 @@ def evaluate_vo(
     )
     est_centres = camera_centers_from_poses(estimates[:, 0:3], estimates[:, 3:6])
     true_centres = camera_centers_from_poses(poses[:, 0:3], poses[:, 3:6])
-    ate = absolute_trajectory_error(est_centres, true_centres)
-    prior_ate = absolute_trajectory_error(
-        camera_centers_from_poses(poses[:, 0:3], poses[:, 3:6]), true_centres
-    )
-    del prior_ate
-    return ate
+    return absolute_trajectory_error(est_centres, true_centres)

@@ -71,6 +71,24 @@ def test_guess_modules_produce_valid_params(module, batch, key):
     assert np.all(np.isfinite(vec))
 
 
+def test_transformer_guess_applies_with_params_only(batch, key):
+    # regression: the pixel projection must not live in an extra variable
+    # collection, or checkpoints carrying only params/batch_stats crash
+    module = PinholeTransformerGuess(
+        num_views=M, num_points=N, num_estimates=2, embed_dim=16, num_layers=1
+    )
+    variables = module.init(
+        {"params": key}, batch.projected_points, batch.visibility_mask
+    )
+    assert set(variables.keys()) == {"params"}
+    out = module.apply(
+        {"params": variables["params"]},
+        batch.projected_points,
+        batch.visibility_mask,
+    )
+    assert np.all(np.isfinite(out.focal_length))
+
+
 def test_transformer_guess_multiple_estimates(batch, key):
     module = PinholeTransformerGuess(
         num_views=M, num_points=N, num_estimates=3, embed_dim=16, num_layers=1

@@ -31,6 +31,14 @@ def test_weight_summaries():
     np.testing.assert_allclose(stats["absmax"], 3.0)
 
 
+def test_weight_summaries_handles_sequence_nodes():
+    # regression: SequenceKey indices are ints and must be stringified
+    params = {"layers": [jnp.ones(2), jnp.zeros(3)], "pair": (jnp.ones(1),)}
+    out = weight_summaries(params)
+    assert len(out) == 3
+    assert all(np.isfinite(s["mean"]) for s in out.values())
+
+
 def test_checkpoint_roundtrip(tmp_path):
     state = {"params": {"w": jnp.arange(4.0)}, "step": jnp.asarray(7)}
     save_checkpoint(str(tmp_path), 3, state)
