@@ -62,6 +62,7 @@ def make_dp_train_step(network, config, mesh: Mesh):
                 batch,
                 training=True,
                 drop_key=drop_key,
+                structure_weight=getattr(config, "structure_weight", 0.0),
             )
 
         grads, (metrics, new_batch_stats) = jax.grad(loss_fn, has_aux=True)(

@@ -63,6 +63,13 @@ class CalibrationExperiment:
     # Gradients through the unrolled solve are heavy-tailed (norms in the
     # thousands at init); clipping is essential for stable training.
     clip_norm: float = 1.0
+    # Weight of the (gauge-normalised) pose/point supervision.  The
+    # reference supervises only the intrinsics + solver error
+    # (``camera_calibration_training_module.py``); the synthetic data has
+    # full ground truth, and supervising the structure steers the guess
+    # into the correct basin of the (projectively ambiguous) objective
+    # far faster.  Set 0 for reference-parity behaviour.
+    structure_weight: float = 1.0
     seed: int = 0
     dtype: Any = jnp.float32
     scene: Optional[SceneConfig] = None
@@ -129,6 +136,23 @@ def create_train_state(
     )
 
 
+def _structure_targets(batch: CameraViewsAndPoints):
+    """Gauge-normalised ground-truth structure: the scale-representative
+    with mean |coordinate| = 1 over points+camera centres — the same
+    normalisation the objective applies internally
+    (``get_camera_relative_points``), so it is the canonical member of the
+    true solution's gauge orbit."""
+    wp = batch.world_points  # (B, N, 3)
+    tr = batch.camera_translations  # (B, M-1, 3)
+    n = wp.shape[1]
+    m = tr.shape[1] + 1
+    points_scale = jnp.mean(jnp.abs(wp), axis=(-1, -2))
+    camera_scale = jnp.mean(jnp.abs(tr), axis=(-1, -2))
+    scale = (points_scale * n + camera_scale * m) / (n + m)
+    scale = jnp.maximum(scale, 1e-6)[:, None, None]
+    return wp / scale, tr / scale
+
+
 def _loss_and_metrics(
     network: CalibrationNetwork,
     params,
@@ -137,6 +161,7 @@ def _loss_and_metrics(
     *,
     training: bool,
     drop_key: Optional[jax.Array],
+    structure_weight: float = 0.0,
 ):
     variables = {"params": params, "batch_stats": batch_stats}
     rngs = {"drop_path": drop_key} if drop_key is not None else None
@@ -168,6 +193,19 @@ def _loss_and_metrics(
         "cx_loss": cx_loss,
         "cy_loss": cy_loss,
     }
+    if structure_weight > 0.0:
+        true_points, true_trans = _structure_targets(batch)
+        pred_points = unpacked.world_points[:, 0]  # (B, N, 3)
+        pred_trans = unpacked.camera_translations[:, :, 0]  # (B, M-1, 3)
+        pred_rot = unpacked.camera_rotations[:, :, 0]
+        structure_loss = (
+            jnp.mean(jnp.square(pred_points - true_points))
+            + jnp.mean(jnp.square(pred_trans - true_trans))
+            + jnp.mean(jnp.square(pred_rot - batch.camera_orientations))
+        )
+        loss = loss + structure_weight * structure_loss
+        metrics["structure_loss"] = structure_loss
+        metrics["loss"] = loss
     new_batch_stats = (
         mutated.get("batch_stats", batch_stats) if training else batch_stats
     )
@@ -193,6 +231,7 @@ def make_train_step(network: CalibrationNetwork, config: CalibrationExperiment):
                 batch,
                 training=True,
                 drop_key=drop_key,
+                structure_weight=config.structure_weight,
             )
 
         grads, (metrics, new_batch_stats) = jax.grad(loss_fn, has_aux=True)(
@@ -219,6 +258,7 @@ def make_eval_step(network: CalibrationNetwork, config: CalibrationExperiment):
             batch,
             training=False,
             drop_key=None,
+            structure_weight=config.structure_weight,
         )
         return metrics
 

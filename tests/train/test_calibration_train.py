@@ -44,8 +44,11 @@ def test_train_step_updates_params(key):
 
 
 def test_metric_names_match_reference_semantics(key):
-    network, state = create_train_state(TINY, key)
-    eval_step = make_eval_step(network, TINY)
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, structure_weight=0.0)
+    network, state = create_train_state(cfg, key)
+    eval_step = make_eval_step(network, cfg)
     metrics = eval_step(state, key)
     assert set(metrics) == {
         "loss",
@@ -59,6 +62,22 @@ def test_metric_names_match_reference_semantics(key):
         + metrics["focal_length_loss"]
         + metrics["cx_loss"]
         + metrics["cy_loss"]
+    )
+    np.testing.assert_allclose(float(metrics["loss"]), float(total), rtol=1e-6)
+
+
+def test_structure_supervision_included_by_default(key):
+    network, state = create_train_state(TINY, key)
+    eval_step = make_eval_step(network, TINY)
+    metrics = eval_step(state, key)
+    assert "structure_loss" in metrics
+    assert np.isfinite(float(metrics["structure_loss"]))
+    total = (
+        metrics["mean_error"]
+        + metrics["focal_length_loss"]
+        + metrics["cx_loss"]
+        + metrics["cy_loss"]
+        + TINY.structure_weight * metrics["structure_loss"]
     )
     np.testing.assert_allclose(float(metrics["loss"]), float(total), rtol=1e-6)
 
