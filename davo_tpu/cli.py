@@ -48,6 +48,9 @@ def main(argv=None):
     eval_p = sub.add_parser("eval", help="evaluate a trained checkpoint")
     _add_common(eval_p)
     eval_p.add_argument("--batches", type=int, default=16)
+    eval_p.add_argument(
+        "--restarts", type=int, default=None, help="multi-start eval solves"
+    )
     sub.add_parser("bench", help="run the headline benchmark")
     sub.add_parser("presets", help="list experiment presets")
     args = parser.parse_args(argv)
@@ -132,6 +135,8 @@ def main(argv=None):
     )
     import jax.numpy as jnp
 
+    if getattr(args, "restarts", None):
+        config = dataclasses.replace(config, num_restarts=args.restarts)
     key = jax.random.key(config.seed)
     network, state = create_train_state(config, key)
     if args.checkpoint_dir:

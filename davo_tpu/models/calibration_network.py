@@ -60,6 +60,11 @@ class CalibrationNetwork(nn.Module):
     solver: BFGSConfig = BFGSConfig(
         error_threshold=1e-7, training_error_threshold=1e-3
     )
+    # Multi-start refinement at inference: solve from this many perturbed
+    # copies of the guess (the gen-1 stack's E parallel-estimates idea
+    # applied to the gen-2 network) and keep the lowest-error estimate.
+    num_restarts: int = 1
+    restart_noise: float = 0.1
 
     @nn.compact
     def __call__(
@@ -96,13 +101,46 @@ class CalibrationNetwork(nn.Module):
         drop_key = None
         if training and self.solver.drop_path_p > 0.0:
             drop_key = self.make_rng("drop_path")
-        result = bfgs_solve(
-            error_function,
-            initial_guess,
-            self.solver,
-            training=training,
-            key=drop_key,
-        )
+
+        restarts = 1 if training else max(self.num_restarts, 1)
+        if restarts > 1:
+            # (B, E, P): estimate 0 is the raw guess, the rest perturbed.
+            noise = self.restart_noise * jax.random.normal(
+                jax.random.key(0),
+                (batch, restarts - 1, num_parameters),
+                dtype=initial_guess.dtype,
+            )
+            starts = jnp.concatenate(
+                [
+                    initial_guess[:, None, :],
+                    initial_guess[:, None, :] + noise,
+                ],
+                axis=1,
+            )
+
+            def multi_error(parameters):
+                return calibration_error(
+                    parameters,
+                    true_projected_points[:, None],
+                    visibility[:, None],
+                )
+
+            solved = bfgs_solve(
+                multi_error, starts, self.solver, training=False
+            )
+            errors = multi_error(solved)
+            best = jnp.argmin(errors, axis=-1)
+            result = jnp.take_along_axis(
+                solved, best[:, None, None], axis=1
+            )[:, 0]
+        else:
+            result = bfgs_solve(
+                error_function,
+                initial_guess,
+                self.solver,
+                training=training,
+                key=drop_key,
+            )
         if return_error:
             return result, error_function(result)
         return result

@@ -70,6 +70,9 @@ class CalibrationExperiment:
     # into the correct basin of the (projectively ambiguous) objective
     # far faster.  Set 0 for reference-parity behaviour.
     structure_weight: float = 1.0
+    # Multi-start eval solves (best-of-E); training always single-start.
+    num_restarts: int = 1
+    restart_noise: float = 0.1
     seed: int = 0
     dtype: Any = jnp.float32
     scene: Optional[SceneConfig] = None
@@ -105,6 +108,8 @@ class CalibrationExperiment:
             num_points=self.num_points,
             hidden_size=self.resolved_hidden(),
             solver=self.solver,
+            num_restarts=self.num_restarts,
+            restart_noise=self.restart_noise,
         )
 
 
