@@ -29,12 +29,14 @@ def _add_common(p):
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--metrics-file", default=None, help="JSONL metrics log")
     p.add_argument("--platform", default=None, help="force a jax platform (cpu/tpu)")
+    p.add_argument("--head", default=None, help="guess head: mlp | transformer")
+    p.add_argument("--learning-rate", type=float, default=None)
 
 
 def _apply_overrides(config, args):
     updates = {}
-    for field in ("epochs", "batch_size", "seed"):
-        value = getattr(args, field)
+    for field in ("epochs", "batch_size", "seed", "head", "learning_rate"):
+        value = getattr(args, field, None)
         if value is not None and hasattr(config, field):
             updates[field] = value
     return dataclasses.replace(config, **updates) if updates else config

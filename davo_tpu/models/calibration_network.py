@@ -44,6 +44,65 @@ class CalibrationMLPHead(nn.Module):
         return nn.Dense(self.num_outputs, name="head")(x)
 
 
+class CalibrationTransformerHead(nn.Module):
+    """Attention guess head: one token per (view, point) observation with
+    learned view/point embeddings and a visibility gate, pre-LN encoder
+    blocks, and a readout token regressing the parameter vector.
+
+    A per-observation tokenisation respects the problem's structure (the
+    flattened-MLP head must rediscover which inputs share a point/view);
+    flash attention serves the blocks on TPU for large M*N.
+    """
+
+    num_outputs: int
+    num_views: int
+    num_points: int
+    embed_dim: int = 128
+    num_layers: int = 3
+    num_heads: int = 4
+
+    @nn.compact
+    def __call__(
+        self,
+        projected_points: jax.Array,
+        visibility_mask: jax.Array,
+        *,
+        training: bool = False,
+    ) -> jax.Array:
+        b = projected_points.shape[0]
+        m, n, d = self.num_views, self.num_points, self.embed_dim
+        tokens = nn.Dense(d, name="pixel_embed")(projected_points)  # (B,M,N,d)
+        view_embed = self.param(
+            "view_embedding", nn.initializers.normal(0.02), (m, 1, d)
+        )
+        point_embed = self.param(
+            "point_embedding", nn.initializers.normal(0.02), (1, n, d)
+        )
+        vis = visibility_mask.astype(tokens.dtype)[..., None]
+        tokens = (tokens + view_embed + point_embed) * vis
+        tokens = tokens.reshape(b, m * n, d)
+        readout = self.param(
+            "readout_token", nn.initializers.normal(0.02), (1, d)
+        )
+        tokens = jnp.concatenate(
+            [jnp.broadcast_to(readout, (b,) + readout.shape), tokens], axis=1
+        )
+        for i in range(self.num_layers):
+            attn = nn.SelfAttention(
+                num_heads=self.num_heads,
+                deterministic=True,
+                name=f"attn_{i}",
+            )(nn.LayerNorm(name=f"ln_a_{i}")(tokens))
+            tokens = tokens + attn
+            x = nn.LayerNorm(name=f"ln_m_{i}")(tokens)
+            x = nn.Dense(4 * d, name=f"mlp_in_{i}")(x)
+            x = nn.gelu(x)
+            x = nn.Dense(d, name=f"mlp_out_{i}")(x)
+            tokens = tokens + x
+        pooled = nn.LayerNorm(name="ln_out")(tokens[:, 0])
+        return nn.Dense(self.num_outputs, name="head")(pooled)
+
+
 class CalibrationNetwork(nn.Module):
     """MLP guess + differentiable BFGS refinement.
 
@@ -65,6 +124,11 @@ class CalibrationNetwork(nn.Module):
     # applied to the gen-2 network) and keep the lowest-error estimate.
     num_restarts: int = 1
     restart_noise: float = 0.1
+    # Guess head: "mlp" (reference architecture) or "transformer"
+    # (per-observation tokens + attention).
+    head: str = "mlp"
+    transformer_layers: int = 3
+    transformer_heads: int = 4
 
     @nn.compact
     def __call__(
@@ -86,10 +150,25 @@ class CalibrationNetwork(nn.Module):
         hidden = self.hidden_size if self.hidden_size > 0 else 4 * num_inputs
 
         batch = true_projected_points.shape[0]
-        inputs = true_projected_points.reshape(batch, num_inputs)
-        initial_guess = CalibrationMLPHead(
-            num_outputs=num_parameters, hidden_size=hidden, name="initial_estimator"
-        )(inputs, training=training)
+        if self.head == "transformer":
+            initial_guess = CalibrationTransformerHead(
+                num_outputs=num_parameters,
+                num_views=self.num_views,
+                num_points=self.num_points,
+                embed_dim=hidden if self.hidden_size > 0 else 128,
+                num_layers=self.transformer_layers,
+                num_heads=self.transformer_heads,
+                name="initial_estimator",
+            )(true_projected_points, visibility_mask, training=training)
+        elif self.head == "mlp":
+            inputs = true_projected_points.reshape(batch, num_inputs)
+            initial_guess = CalibrationMLPHead(
+                num_outputs=num_parameters,
+                hidden_size=hidden,
+                name="initial_estimator",
+            )(inputs, training=training)
+        else:
+            raise ValueError(f"Unknown head: {self.head!r}")
 
         visibility = visibility_mask.astype(initial_guess.dtype)
 

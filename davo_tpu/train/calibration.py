@@ -73,6 +73,9 @@ class CalibrationExperiment:
     # Multi-start eval solves (best-of-E); training always single-start.
     num_restarts: int = 1
     restart_noise: float = 0.1
+    # Guess head: "mlp" (reference) or "transformer" (per-observation
+    # tokens + attention).
+    head: str = "mlp"
     seed: int = 0
     dtype: Any = jnp.float32
     scene: Optional[SceneConfig] = None
@@ -110,6 +113,7 @@ class CalibrationExperiment:
             solver=self.solver,
             num_restarts=self.num_restarts,
             restart_noise=self.restart_noise,
+            head=self.head,
         )
 
 

@@ -39,6 +39,58 @@ def _init(network, batch, key):
     )
 
 
+def test_transformer_head_forward_and_grads(batch, key):
+    import jax.numpy as jnp
+
+    net = CalibrationNetwork(
+        num_views=M,
+        num_points=N,
+        hidden_size=32,
+        solver=SOLVER,
+        head="transformer",
+        transformer_layers=1,
+        transformer_heads=2,
+    )
+    variables = net.init(
+        {"params": key}, batch.projected_points, batch.visibility_mask
+    )
+    out, err = net.apply(
+        variables,
+        batch.projected_points,
+        batch.visibility_mask,
+        return_error=True,
+    )
+    assert out.shape == (4, 3 + 3 * N + 6 * (M - 1))
+    assert np.all(np.isfinite(out)) and np.all(np.isfinite(err))
+
+    def loss(params):
+        result, e = net.apply(
+            {"params": params},
+            batch.projected_points,
+            batch.visibility_mask,
+            training=True,
+            return_error=True,
+            rngs={"drop_path": key},
+            mutable=["batch_stats"],
+        )[0]
+        return jnp.mean(e) + jnp.mean(jnp.square(result))
+
+    grads = jax.grad(loss)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(g)) for g in leaves)
+    assert any(np.any(np.asarray(g) != 0.0) for g in leaves)
+
+
+def test_unknown_head_raises(batch, key):
+    net = CalibrationNetwork(
+        num_views=M, num_points=N, hidden_size=8, head="nope"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        net.init({"params": key}, batch.projected_points, batch.visibility_mask)
+
+
 def test_forward_shapes(network, batch, key):
     variables = _init(network, batch, key)
     out = network.apply(
