@@ -42,7 +42,9 @@ __all__ = [
     "TrajectoryConfig",
     "generate_trajectory",
     "solve_windowed_vo",
+    "solve_windowed_vo_learned",
     "evaluate_vo",
+    "evaluate_learned_vo",
 ]
 
 
@@ -217,6 +219,92 @@ def solve_windowed_vo(
             "ij,nj->ni", r_anchor.T, solved.points - anchor_est[3:6]
         )
     return estimates
+
+
+def solve_windowed_vo_learned(
+    guess_fn,
+    pixels: jax.Array,
+    visibility: jax.Array,
+    config: TrajectoryConfig,
+) -> jax.Array:
+    """Full learned VO: estimate the trajectory from observations alone.
+
+    Each window of ``config.window`` consecutive frames (overlapping by 2)
+    is handed to ``guess_fn`` — typically a trained
+    :class:`davo_tpu.models.CalibrationNetwork` (guess + in-forward BFGS)
+    — which returns the window's calibration vector in the gen-2 layout.
+    Window-relative poses are stitched into an absolute trajectory:
+    rotations chain directly; each window's arbitrary gauge scale is fixed
+    against the previous window through the shared (overlapped) frame
+    pair's relative translation.
+
+    :param guess_fn: maps ``(pixels (1, M, N, 2), visibility (1, M, N))``
+        to a flat calibration vector ``(1, P)``.
+    :param pixels: ``(K, N, 2)`` sequence observations.
+    :param visibility: ``(K, N)``.
+    :return: ``(K, 6)`` estimated absolute poses (gauge: frame 0 identity,
+        scale of the first window).
+    """
+    from davo_tpu.camera import unpack_calibration_parameters
+
+    kf = pixels.shape[0]
+    w = config.window
+    stride = max(w - 2, 1)
+    estimates = jnp.zeros((kf, 6))
+
+    start = 0
+    prev_start = None
+    while True:
+        start = min(start, kf - w)
+        idx = jnp.arange(start, start + w)
+        vec = guess_fn(pixels[idx][None], visibility[idx][None])[0]
+        params = unpack_calibration_parameters(
+            vec, w, pixels.shape[1]
+        )
+        rel_rot = params.camera_rotations[:, 0, :]  # (w-1, 3)
+        rel_trans = params.camera_translations[:, 0, :]
+        window_poses = jnp.concatenate(
+            [jnp.zeros((1, 6)),
+             jnp.concatenate([rel_rot, rel_trans], axis=-1)],
+            axis=0,
+        )  # (w, 6), frame `start` = identity in window gauge
+
+        if prev_start is None:
+            scale = 1.0
+        else:
+            # fix this window's scale against the chained estimate of the
+            # shared pair (start, start+1)
+            chained_rel = _to_window_frame(
+                estimates[start : start + 2], estimates[start]
+            )[1]
+            win_rel = window_poses[1]
+            num = jnp.linalg.norm(chained_rel[3:6])
+            den = jnp.maximum(jnp.linalg.norm(win_rel[3:6]), 1e-9)
+            scale = num / den
+
+        anchor = estimates[start]
+        first_new = 1 if prev_start is None else 2
+        for j in range(first_new, w):
+            scaled = window_poses[j].at[3:6].multiply(scale)
+            estimates = estimates.at[start + j].set(_compose(anchor, scaled))
+        if start + w >= kf:
+            break
+        prev_start = start
+        start = start + stride
+    return estimates
+
+
+def evaluate_learned_vo(
+    guess_fn,
+    key: jax.Array,
+    config: TrajectoryConfig = TrajectoryConfig(),
+) -> Dict[str, jax.Array]:
+    """Generate a sequence, run the full learned VO, report aligned ATE."""
+    poses, _, pixels, visibility = generate_trajectory(key, config)
+    estimates = solve_windowed_vo_learned(guess_fn, pixels, visibility, config)
+    est_centres = camera_centers_from_poses(estimates[:, 0:3], estimates[:, 3:6])
+    true_centres = camera_centers_from_poses(poses[:, 0:3], poses[:, 3:6])
+    return absolute_trajectory_error(est_centres, true_centres)
 
 
 def evaluate_vo(

@@ -48,6 +48,95 @@ def test_evaluate_vo_end_to_end(key):
     assert float(ate["rmse"]) < 0.01
 
 
+class TestLearnedVO:
+    def _oracle_guess_fn(self, poses, points, cfg):
+        """A guess_fn that returns the ground-truth window calibration
+        vector, with a deliberately different gauge scale per call — the
+        stitching must recover a consistent trajectory regardless."""
+        from davo_tpu.train.vo_eval import _to_window_frame
+        from davo_tpu.geometry import so3_rotation_matrix
+
+        call_count = {"n": 0}
+
+        def guess_fn(pixels_window, vis_window):
+            call_count["n"] += 1
+            scale = 1.0 + 0.4 * call_count["n"]
+            # identify the window by matching pixels against the sequence
+            # (frames are unique): find the start index
+            full_pixels = self._pixels
+            for start in range(full_pixels.shape[0]):
+                if start + cfg.window <= full_pixels.shape[0] and np.allclose(
+                    np.asarray(full_pixels[start]),
+                    np.asarray(pixels_window[0, 0]),
+                ):
+                    break
+            idx = jnp.arange(start, start + cfg.window)
+            rel_poses = _to_window_frame(poses[idx], poses[start])
+            r0 = so3_rotation_matrix(poses[start, 0:3])
+            pts_cam = (
+                jnp.einsum("ij,nj->ni", r0, points) + poses[start, 3:6]
+            )
+            f = cfg.focal_length
+            f_param = jnp.where(f >= 1.0, f - 1.0, jnp.log(f))
+            vec = jnp.concatenate(
+                [
+                    jnp.asarray([f_param, 0.0, 0.0]),
+                    (scale * pts_cam).reshape(-1),
+                    (scale * rel_poses[1:, 3:6]).reshape(-1),
+                    rel_poses[1:, 0:3].reshape(-1),
+                ]
+            )
+            return vec[None]
+
+        return guess_fn
+
+    def test_oracle_guess_recovers_trajectory(self, key):
+        import jax
+
+        cfg = TrajectoryConfig(num_frames=9, num_points=16, window=4)
+        poses, points, pixels, visibility = generate_trajectory(key, cfg)
+        self._pixels = pixels
+        from davo_tpu.train.vo_eval import solve_windowed_vo_learned
+
+        guess_fn = self._oracle_guess_fn(poses, points, cfg)
+        estimates = solve_windowed_vo_learned(guess_fn, pixels, visibility, cfg)
+        est_c = camera_centers_from_poses(estimates[:, 0:3], estimates[:, 3:6])
+        true_c = camera_centers_from_poses(poses[:, 0:3], poses[:, 3:6])
+        ate = absolute_trajectory_error(est_c, true_c)
+        # per-window gauge scales differ by 40% each call: the scale
+        # chaining must still stitch a consistent trajectory
+        assert float(ate["rmse"]) < 1e-4, dict(ate)
+
+    def test_untrained_network_runs_end_to_end(self, key):
+        import jax
+        from davo_tpu.models import CalibrationNetwork
+        from davo_tpu.solve import BFGSConfig
+        from davo_tpu.train.vo_eval import evaluate_learned_vo
+
+        cfg = TrajectoryConfig(num_frames=7, num_points=8, window=3)
+        net = CalibrationNetwork(
+            num_views=3,
+            num_points=8,
+            hidden_size=16,
+            solver=BFGSConfig(
+                error_threshold=1e-7,
+                iterations=3,
+                drop_path_p=0.0,
+                line_search_iterations=8,
+            ),
+        )
+        _, _, pixels, visibility = generate_trajectory(key, cfg)
+        variables = net.init(
+            {"params": key}, pixels[:3][None], visibility[:3][None]
+        )
+
+        def guess_fn(pw, vw):
+            return net.apply(variables, pw, vw)
+
+        ate = evaluate_learned_vo(guess_fn, key, cfg)
+        assert np.isfinite(float(ate["rmse"]))
+
+
 def test_noisy_pixels_degrade_gracefully(key):
     noisy_cfg = TrajectoryConfig(
         num_frames=9, num_points=24, window=3, pixel_noise=0.002
