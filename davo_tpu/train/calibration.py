@@ -63,6 +63,11 @@ class CalibrationExperiment:
     # Gradients through the unrolled solve are heavy-tailed (norms in the
     # thousands at init); clipping is essential for stable training.
     clip_norm: float = 1.0
+    # "constant" or "warmup_cosine" (linear warmup to learning_rate, then
+    # cosine decay to 10% over the configured epoch budget — the
+    # transformer head diverges without it).
+    schedule: str = "warmup_cosine"
+    warmup_steps: int = 500
     # Weight of the (gauge-normalised) pose/point supervision.  The
     # reference supervises only the intrinsics + solver error
     # (``camera_calibration_training_module.py``); the synthetic data has
@@ -133,9 +138,22 @@ def create_train_state(
         sample.visibility_mask,
         training=False,
     )
+    if config.schedule == "warmup_cosine":
+        total_steps = max(config.epochs * config.batches_per_epoch, 1)
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=config.learning_rate,
+            warmup_steps=min(config.warmup_steps, total_steps // 2 + 1),
+            decay_steps=total_steps,
+            end_value=0.1 * config.learning_rate,
+        )
+    elif config.schedule == "constant":
+        lr = config.learning_rate
+    else:
+        raise ValueError(f"Unknown schedule: {config.schedule!r}")
     tx = optax.chain(
         optax.clip_by_global_norm(config.clip_norm),
-        optax.adamw(config.learning_rate, weight_decay=config.weight_decay),
+        optax.adamw(lr, weight_decay=config.weight_decay),
     )
     return network, TrainState.create(
         apply_fn=network.apply,
