@@ -139,12 +139,13 @@ def create_train_state(
         training=False,
     )
     if config.schedule == "warmup_cosine":
-        total_steps = max(config.epochs * config.batches_per_epoch, 1)
+        total_steps = max(config.epochs * config.batches_per_epoch, 2)
+        warmup = min(config.warmup_steps, total_steps // 2)
         lr = optax.warmup_cosine_decay_schedule(
             init_value=0.0,
             peak_value=config.learning_rate,
-            warmup_steps=min(config.warmup_steps, total_steps // 2 + 1),
-            decay_steps=total_steps,
+            warmup_steps=warmup,
+            decay_steps=max(total_steps, warmup + 1),
             end_value=0.1 * config.learning_rate,
         )
     elif config.schedule == "constant":

@@ -19,6 +19,7 @@ TINY = CalibrationExperiment(
     batches_per_epoch=2,
     val_batches=1,
     epochs=1,
+    schedule="constant",  # warmup starts at lr 0: first step is a no-op
     solver=BFGSConfig(
         error_threshold=1e-7,
         training_error_threshold=1e-3,
