@@ -5,9 +5,6 @@ dataclass configs (replacing the LightningCLI YAML dependency-injection,
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
-from davo_tpu.camera import PinholeBAConfig
 from davo_tpu.solve import BFGSConfig
 from .calibration import CalibrationExperiment
 from .optimisation import OptimisationExperiment
@@ -64,8 +61,30 @@ def _mlp_guess() -> OptimisationExperiment:
     )
 
 
+def _calibration_transformer_curriculum() -> CalibrationExperiment:
+    """The round-1 best recipe (see ROADMAP.md): transformer guess head
+    trained purely supervised (no unrolled solve in training — it
+    destabilises the head), full BFGS refinement at eval.  Reaches
+    f-error ~0.77 / trajectory ATE ~0.98 after 300 epochs on one chip,
+    vs ~14 / ~2.7 for the reference-style MLP+unrolled-solve recipe."""
+    return CalibrationExperiment(
+        epochs=300,
+        head="transformer",
+        learning_rate=3e-4,
+        solver=BFGSConfig(
+            error_threshold=1e-7,
+            training_error_threshold=1e-3,
+            iterations=100,
+            training_iterations=0,
+            line_search_iterations=50,
+            drop_path_p=0.0,
+        ),
+    )
+
+
 PRESETS = {
     "calibration_from_oracle_matches": _calibration_from_oracle_matches,
+    "calibration_transformer_curriculum": _calibration_transformer_curriculum,
     "bfgs_solver_full_gradient": _bfgs_solver_full_gradient,
     "bfgs_solver_only_error_gradient": _bfgs_solver_only_error_gradient,
     "mlp_guess": _mlp_guess,
