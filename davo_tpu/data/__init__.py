@@ -1,3 +1,10 @@
 from .synthetic import SceneConfig, generate_scene, generate_batch
+from .vo_windows import VOWindowConfig, generate_vo_window_batch
 
-__all__ = ["SceneConfig", "generate_scene", "generate_batch"]
+__all__ = [
+    "SceneConfig",
+    "generate_scene",
+    "generate_batch",
+    "VOWindowConfig",
+    "generate_vo_window_batch",
+]

@@ -81,6 +81,10 @@ class CalibrationExperiment:
     # Guess head: "mlp" (reference) or "transformer" (per-observation
     # tokens + attention).
     head: str = "mlp"
+    # Training-scene distribution: "scenes" (reference-style camera
+    # clusters) or "vo_windows" (orbit-arc keyframe windows matching the
+    # windowed-VO geometry, davo_tpu.data.vo_windows).
+    data_source: str = "scenes"
     seed: int = 0
     dtype: Any = jnp.float32
     scene: Optional[SceneConfig] = None
@@ -110,6 +114,27 @@ class CalibrationExperiment:
             return self.hidden_size
         return 8 * self.num_views * self.num_points
 
+    def make_batch_fn(self):
+        """``(key, batch_size) -> CameraViewsAndPoints`` for the configured
+        scene distribution."""
+        if self.data_source == "scenes":
+            scene_cfg = self.resolved_scene()
+            return lambda key, batch_size: generate_batch(
+                key, batch_size, scene_cfg
+            )
+        if self.data_source == "vo_windows":
+            from davo_tpu.data import VOWindowConfig, generate_vo_window_batch
+
+            window_cfg = VOWindowConfig(
+                num_views=self.num_views,
+                num_points=self.num_points,
+                dtype=self.dtype,
+            )
+            return lambda key, batch_size: generate_vo_window_batch(
+                key, batch_size, window_cfg
+            )
+        raise ValueError(f"Unknown data_source: {self.data_source!r}")
+
     def build_network(self) -> CalibrationNetwork:
         return CalibrationNetwork(
             num_views=self.num_views,
@@ -131,7 +156,7 @@ def create_train_state(
 ) -> Tuple[CalibrationNetwork, TrainState]:
     network = config.build_network()
     init_key, data_key = jax.random.split(key)
-    sample = generate_batch(data_key, 2, config.resolved_scene())
+    sample = config.make_batch_fn()(data_key, 2)
     variables = network.init(
         {"params": init_key},
         sample.projected_points,
@@ -244,12 +269,12 @@ def make_train_step(network: CalibrationNetwork, config: CalibrationExperiment):
     """One fused train step: on-device scene generation + forward solve +
     loss + AdamW update, all inside a single jit."""
 
-    scene_cfg = config.resolved_scene()
+    batch_fn = config.make_batch_fn()
 
     @jax.jit
     def train_step(state: TrainState, key: jax.Array):
         data_key, drop_key = jax.random.split(key)
-        batch = generate_batch(data_key, config.batch_size, scene_cfg)
+        batch = batch_fn(data_key, config.batch_size)
 
         def loss_fn(params):
             return _loss_and_metrics(
@@ -274,11 +299,11 @@ def make_train_step(network: CalibrationNetwork, config: CalibrationExperiment):
 
 
 def make_eval_step(network: CalibrationNetwork, config: CalibrationExperiment):
-    scene_cfg = config.resolved_scene()
+    batch_fn = config.make_batch_fn()
 
     @jax.jit
     def eval_step(state: TrainState, key: jax.Array):
-        batch = generate_batch(key, config.batch_size, scene_cfg)
+        batch = batch_fn(key, config.batch_size)
         _, (metrics, _) = _loss_and_metrics(
             network,
             state.params,
@@ -313,11 +338,11 @@ def evaluate_calibration_ate(
         camera_centers_from_poses,
     )
 
-    scene_cfg = config.resolved_scene()
+    batch_fn = config.make_batch_fn()
 
     @jax.jit
     def solve_batch(batch_key):
-        batch = generate_batch(batch_key, config.batch_size, scene_cfg)
+        batch = batch_fn(batch_key, config.batch_size)
         predictions = network.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch.projected_points,
