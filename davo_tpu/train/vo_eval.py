@@ -43,6 +43,8 @@ __all__ = [
     "generate_trajectory",
     "solve_windowed_vo",
     "solve_windowed_vo_learned",
+    "triangulate_points",
+    "refine_trajectory_global",
     "evaluate_vo",
     "evaluate_learned_vo",
 ]
@@ -294,14 +296,99 @@ def solve_windowed_vo_learned(
     return estimates
 
 
+def triangulate_points(
+    poses: jax.Array,
+    intrinsics: jax.Array,
+    pixels: jax.Array,
+    visibility: jax.Array,
+) -> jax.Array:
+    """Linear (DLT) triangulation of N points from K posed views.
+
+    For each visible observation, the normalised pixel ray gives two
+    linear constraints ``(u' R3 - R1) P = t1 - u' t3`` (and likewise for
+    v); the per-point 3x3 normal equations are solved batched.
+
+    :param poses: ``(K, 6)`` world->camera ``[axis-angle, t]``.
+    :param intrinsics: ``(3,)`` — ``(f, cx, cy)``.
+    :param pixels: ``(K, N, 2)``.
+    :param visibility: ``(K, N)``.
+    :return: ``(N, 3)`` triangulated world points.
+    """
+    f, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2]
+    rot = so3_rotation_matrix(poses[:, 0:3])  # (K, 3, 3)
+    t = poses[:, 3:6]
+    u_n = (pixels[..., 0] - cx) / f  # (K, N)
+    v_n = (pixels[..., 1] - cy) / f
+    r1, r2, r3 = rot[:, 0], rot[:, 1], rot[:, 2]  # (K, 3)
+    # rows: (K, N, 3); rhs: (K, N)
+    row_u = u_n[..., None] * r3[:, None, :] - r1[:, None, :]
+    row_v = v_n[..., None] * r3[:, None, :] - r2[:, None, :]
+    rhs_u = t[:, None, 0] - u_n * t[:, None, 2]
+    rhs_v = t[:, None, 1] - v_n * t[:, None, 2]
+    w = visibility.astype(pixels.dtype)[..., None]
+    rows = jnp.concatenate([row_u * w, row_v * w], axis=0)  # (2K, N, 3)
+    rhs = jnp.concatenate([rhs_u * w[..., 0], rhs_v * w[..., 0]], axis=0)
+    ata = jnp.einsum("kni,knj->nij", rows, rows) + 1e-9 * jnp.eye(3)
+    atb = jnp.einsum("kni,kn->ni", rows, rhs)
+    return jnp.linalg.solve(ata, atb[..., None])[..., 0]
+
+
+def refine_trajectory_global(
+    estimates: jax.Array,
+    intrinsics: jax.Array,
+    pixels: jax.Array,
+    visibility: jax.Array,
+    solver: SchurConfig = SchurConfig(iterations=15, damping=1e-3),
+    mesh=None,
+) -> jax.Array:
+    """Global pose refinement: triangulate all points from the stitched
+    trajectory and run one full-sequence bundle adjustment (intrinsics
+    frozen, frame 0 pinned).  With ``mesh`` given the point block is
+    sharded (:func:`davo_tpu.parallel.distributed_schur_ba`).
+
+    :param estimates: ``(K, 6)`` stitched world->camera poses.
+    :return: ``(K, 6)`` refined poses.
+    """
+    from davo_tpu.parallel import distributed_schur_ba
+
+    points = triangulate_points(estimates, intrinsics, pixels, visibility)
+    problem = BAProblem(
+        intrinsics=intrinsics, poses=estimates, points=points
+    )
+    obs = BAObservations(pixels=pixels, visibility=visibility)
+    kf, n = pixels.shape[0], pixels.shape[1]
+    intr_free = jnp.zeros(3, dtype=bool)
+    pose_free = jnp.ones((kf, 6), dtype=bool).at[0].set(False)
+    point_free = jnp.ones((n, 3), dtype=bool).at[0, 2].set(False)
+    masks = (intr_free, pose_free, point_free)
+    if mesh is not None:
+        solved = distributed_schur_ba(
+            problem, obs, mesh, solver, gauge_masks=masks
+        )
+    else:
+        solved = schur_ba_solve(problem, obs, solver, gauge_masks=masks)
+    return solved.poses
+
+
 def evaluate_learned_vo(
     guess_fn,
     key: jax.Array,
     config: TrajectoryConfig = TrajectoryConfig(),
+    refine: bool = False,
+    mesh=None,
 ) -> Dict[str, jax.Array]:
-    """Generate a sequence, run the full learned VO, report aligned ATE."""
+    """Generate a sequence, run the full learned VO (optionally followed by
+    global BA refinement), report aligned ATE."""
     poses, _, pixels, visibility = generate_trajectory(key, config)
     estimates = solve_windowed_vo_learned(guess_fn, pixels, visibility, config)
+    if refine:
+        estimates = refine_trajectory_global(
+            estimates,
+            jnp.asarray([config.focal_length, 0.0, 0.0]),
+            pixels,
+            visibility,
+            mesh=mesh,
+        )
     est_centres = camera_centers_from_poses(estimates[:, 0:3], estimates[:, 3:6])
     true_centres = camera_centers_from_poses(poses[:, 0:3], poses[:, 3:6])
     return absolute_trajectory_error(est_centres, true_centres)

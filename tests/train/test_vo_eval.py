@@ -137,6 +137,58 @@ class TestLearnedVO:
         assert np.isfinite(float(ate["rmse"]))
 
 
+class TestGlobalRefinement:
+    def test_triangulation_recovers_points(self, key):
+        from davo_tpu.train.vo_eval import triangulate_points
+
+        cfg = TrajectoryConfig(num_frames=8, num_points=12)
+        poses, points, pixels, visibility = generate_trajectory(key, cfg)
+        intr = jnp.asarray([cfg.focal_length, 0.0, 0.0])
+        out = triangulate_points(poses, intr, pixels, visibility)
+        vis_enough = np.asarray(visibility.sum(0)) >= 3
+        np.testing.assert_allclose(
+            np.asarray(out)[vis_enough],
+            np.asarray(points)[vis_enough],
+            atol=1e-4,
+        )
+
+    def test_refinement_cleans_noisy_trajectory(self, key):
+        from davo_tpu.train.vo_eval import refine_trajectory_global
+
+        cfg = TrajectoryConfig(num_frames=8, num_points=24)
+        poses, points, pixels, visibility = generate_trajectory(key, cfg)
+        noisy = poses.at[1:].add(
+            0.03 * jax.random.normal(jax.random.fold_in(key, 3), (7, 6))
+        )
+        intr = jnp.asarray([cfg.focal_length, 0.0, 0.0])
+        refined = refine_trajectory_global(noisy, intr, pixels, visibility)
+        true_c = camera_centers_from_poses(poses[:, 0:3], poses[:, 3:6])
+        before = absolute_trajectory_error(
+            camera_centers_from_poses(noisy[:, 0:3], noisy[:, 3:6]), true_c
+        )
+        after = absolute_trajectory_error(
+            camera_centers_from_poses(refined[:, 0:3], refined[:, 3:6]), true_c
+        )
+        assert float(after["rmse"]) < 0.1 * float(before["rmse"]), (
+            dict(before),
+            dict(after),
+        )
+
+    def test_refinement_on_mesh_matches(self, key):
+        from davo_tpu.train.vo_eval import refine_trajectory_global
+        from davo_tpu.parallel import make_mesh
+
+        cfg = TrajectoryConfig(num_frames=6, num_points=16)
+        poses, _, pixels, visibility = generate_trajectory(key, cfg)
+        noisy = poses.at[1:].add(0.02)
+        intr = jnp.asarray([cfg.focal_length, 0.0, 0.0])
+        single = refine_trajectory_global(noisy, intr, pixels, visibility)
+        sharded = refine_trajectory_global(
+            noisy, intr, pixels, visibility, mesh=make_mesh(4)
+        )
+        np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-6)
+
+
 def test_noisy_pixels_degrade_gracefully(key):
     noisy_cfg = TrajectoryConfig(
         num_frames=9, num_points=24, window=3, pixel_noise=0.002
