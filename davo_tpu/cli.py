@@ -55,6 +55,17 @@ def main(argv=None):
     )
     sub.add_parser("bench", help="run the headline benchmark")
     sub.add_parser("presets", help="list experiment presets")
+    vo_p = sub.add_parser(
+        "vo-eval", help="full learned VO on synthetic sequences"
+    )
+    vo_p.add_argument("--checkpoint", required=True, help="checkpoint .pkl")
+    vo_p.add_argument("--frames", type=int, default=16)
+    vo_p.add_argument("--window", type=int, default=4)
+    vo_p.add_argument("--points", type=int, default=8)
+    vo_p.add_argument("--trials", type=int, default=3)
+    vo_p.add_argument("--restarts", type=int, default=8)
+    vo_p.add_argument("--no-refine", action="store_true")
+    vo_p.add_argument("--platform", default=None)
     args = parser.parse_args(argv)
 
     if args.command == "presets":
@@ -83,6 +94,59 @@ def main(argv=None):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+
+    if args.command == "vo-eval":
+        import pickle
+
+        import jax.numpy as jnp
+
+        from davo_tpu.solve import BFGSConfig
+        from davo_tpu.train import CalibrationExperiment
+        from davo_tpu.train.vo_eval import TrajectoryConfig, evaluate_learned_vo
+
+        net_cfg = CalibrationExperiment(
+            num_views=args.window,
+            num_points=args.points,
+            head="transformer",
+            num_restarts=args.restarts,
+            solver=BFGSConfig(
+                error_threshold=1e-7,
+                iterations=100,
+                training_iterations=0,
+                line_search_iterations=50,
+                drop_path_p=0.0,
+            ),
+        )
+        net = net_cfg.build_network()
+        with open(args.checkpoint, "rb") as f:
+            restored = pickle.load(f)
+        variables = {
+            "params": restored["params"],
+            "batch_stats": restored.get("batch_stats", {}),
+        }
+
+        @jax.jit
+        def guess_fn(pw, vw):
+            return net.apply(variables, pw, vw)
+
+        tcfg = TrajectoryConfig(
+            num_frames=args.frames,
+            num_points=args.points,
+            window=args.window,
+        )
+        results = []
+        for trial in range(args.trials):
+            ate = evaluate_learned_vo(
+                guess_fn,
+                jax.random.key(100 + trial),
+                tcfg,
+                refine=not args.no_refine,
+            )
+            results.append({k: float(v) for k, v in ate.items()})
+            print(json.dumps({"trial": trial, **results[-1]}), flush=True)
+        mean_rmse = sum(r["rmse"] for r in results) / len(results)
+        print(json.dumps({"mean_ate_rmse": round(mean_rmse, 5)}))
+        return 0
 
     from davo_tpu.train import (
         get_preset,
