@@ -98,24 +98,16 @@ def main(argv=None):
     if args.command == "vo-eval":
         import pickle
 
-        import jax.numpy as jnp
-
-        from davo_tpu.solve import BFGSConfig
-        from davo_tpu.train import CalibrationExperiment
+        from davo_tpu.train import get_preset
         from davo_tpu.train.vo_eval import TrajectoryConfig, evaluate_learned_vo
 
-        net_cfg = CalibrationExperiment(
+        # reuse the curriculum preset's solver recipe (single source of
+        # truth for the eval solve budget)
+        net_cfg = dataclasses.replace(
+            get_preset("calibration_transformer_curriculum"),
             num_views=args.window,
             num_points=args.points,
-            head="transformer",
             num_restarts=args.restarts,
-            solver=BFGSConfig(
-                error_threshold=1e-7,
-                iterations=100,
-                training_iterations=0,
-                line_search_iterations=50,
-                drop_path_p=0.0,
-            ),
         )
         net = net_cfg.build_network()
         with open(args.checkpoint, "rb") as f:

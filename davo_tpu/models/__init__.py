@@ -1,4 +1,8 @@
-from .calibration_network import CalibrationNetwork, CalibrationMLPHead
+from .calibration_network import (
+    CalibrationNetwork,
+    CalibrationMLPHead,
+    CalibrationTransformerHead,
+)
 from .init import kaiming_normal_init, kaiming_uniform_init, dense_kaiming
 from .guess import (
     num_guess_parameters,
@@ -25,6 +29,7 @@ from .learned_solvers import (
 __all__ = [
     "CalibrationNetwork",
     "CalibrationMLPHead",
+    "CalibrationTransformerHead",
     "kaiming_normal_init",
     "kaiming_uniform_init",
     "dense_kaiming",

@@ -21,7 +21,11 @@ from flax import linen as nn
 from davo_tpu.camera import calibration_error, num_calibration_parameters
 from davo_tpu.solve import BFGSConfig, bfgs_solve
 
-__all__ = ["CalibrationNetwork", "CalibrationMLPHead"]
+__all__ = [
+    "CalibrationNetwork",
+    "CalibrationMLPHead",
+    "CalibrationTransformerHead",
+]
 
 
 class CalibrationMLPHead(nn.Module):
@@ -184,8 +188,14 @@ class CalibrationNetwork(nn.Module):
         restarts = 1 if training else max(self.num_restarts, 1)
         if restarts > 1:
             # (B, E, P): estimate 0 is the raw guess, the rest perturbed.
+            # Pass rngs={"restarts": key} to apply() for independent draws;
+            # without one the perturbations are a fixed deterministic set.
+            if self.has_rng("restarts"):
+                restart_key = self.make_rng("restarts")
+            else:
+                restart_key = jax.random.key(0)
             noise = self.restart_noise * jax.random.normal(
-                jax.random.key(0),
+                restart_key,
                 (batch, restarts - 1, num_parameters),
                 dtype=initial_guess.dtype,
             )

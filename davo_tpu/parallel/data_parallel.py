@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from davo_tpu.data import generate_batch
 from .mesh import DATA_AXIS
 
 __all__ = ["make_dp_train_step"]
@@ -34,7 +33,7 @@ def make_dp_train_step(network, config, mesh: Mesh):
     """
     from davo_tpu.train.calibration import TrainState, _loss_and_metrics
 
-    scene_cfg = config.resolved_scene()
+    batch_fn = config.make_batch_fn()
     batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
     replicated = NamedSharding(mesh, P())
 
@@ -51,7 +50,7 @@ def make_dp_train_step(network, config, mesh: Mesh):
     @jax.jit
     def train_step(state: TrainState, key: jax.Array):
         data_key, drop_key = jax.random.split(key)
-        batch = generate_batch(data_key, config.batch_size, scene_cfg)
+        batch = batch_fn(data_key, config.batch_size)
         batch = _constrain_batch(batch)
 
         def loss_fn(params):

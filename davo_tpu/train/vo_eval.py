@@ -251,7 +251,17 @@ def solve_windowed_vo_learned(
 
     kf = pixels.shape[0]
     w = config.window
-    stride = max(w - 2, 1)
+    if w < 3:
+        raise ValueError(
+            "learned VO needs window >= 3: consecutive windows overlap by "
+            "two frames and the shared pair's relative translation anchors "
+            f"each window's gauge scale (got window={w})"
+        )
+    if kf < w:
+        raise ValueError(
+            f"sequence of {kf} frames is shorter than the window ({w})"
+        )
+    stride = w - 2
     estimates = jnp.zeros((kf, 6))
 
     start = 0
