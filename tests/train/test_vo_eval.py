@@ -107,6 +107,24 @@ class TestLearnedVO:
         # chaining must still stitch a consistent trajectory
         assert float(ate["rmse"]) < 1e-4, dict(ate)
 
+    def test_window_too_small_raises(self, key):
+        from davo_tpu.train.vo_eval import solve_windowed_vo_learned
+        import pytest as _pytest
+
+        cfg = TrajectoryConfig(num_frames=6, num_points=8, window=2)
+        _, _, pixels, visibility = generate_trajectory(key, cfg)
+        with _pytest.raises(ValueError):
+            solve_windowed_vo_learned(lambda p, v: None, pixels, visibility, cfg)
+
+    def test_sequence_shorter_than_window_raises(self, key):
+        from davo_tpu.train.vo_eval import solve_windowed_vo_learned
+        import pytest as _pytest
+
+        cfg = TrajectoryConfig(num_frames=3, num_points=8, window=4)
+        _, _, pixels, visibility = generate_trajectory(key, cfg)
+        with _pytest.raises(ValueError):
+            solve_windowed_vo_learned(lambda p, v: None, pixels, visibility, cfg)
+
     def test_untrained_network_runs_end_to_end(self, key):
         import jax
         from davo_tpu.models import CalibrationNetwork
