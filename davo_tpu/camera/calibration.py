@@ -13,6 +13,7 @@ function of ``networks/calibration_network.py:58-67``.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple
 
 import jax
@@ -31,6 +32,8 @@ __all__ = [
     "pack_calibration_parameters",
     "get_camera_relative_points",
     "calibration_error",
+    "BasinScoreConfig",
+    "basin_score",
 ]
 
 
@@ -170,3 +173,85 @@ def calibration_error(
     )
     distance = projective_plane_angle_distance(rays, relative_points)
     return jnp.sum(distance * visibility_mask, axis=(-1, -2))
+
+
+@dataclasses.dataclass(frozen=True)
+class BasinScoreConfig:
+    """Weights for :func:`basin_score`.
+
+    The calibration objective is projectively ambiguous from weak starts:
+    spurious basins reach low reprojection error with a focal length far
+    from truth, so raw reprojection error is a poor model-selection
+    criterion for multi-start solving.  The basin score adds *flat-bottom*
+    plausibility penalties — zero anywhere inside the domain the synthetic
+    data generator samples from (:mod:`davo_tpu.data.synthetic`: FOV
+    30-120 degrees so effective focal in [0.577, 3.73]; principal point
+    clamped to +-0.5) plus a cheirality term (visible points must lie in
+    front of their cameras after the gauge rescale).
+    """
+
+    # log of the elu(f)+1 effective focal; bounds of the data domain.
+    log_focal_bounds: tuple = (-0.55, 1.32)
+    focal_weight: float = 1.0
+    centre_bound: float = 0.5
+    centre_weight: float = 1.0
+    # minimum camera-frame depth (scene is gauge-rescaled to mean |coord| 1)
+    depth_margin: float = 0.05
+    depth_weight: float = 1.0
+
+
+def basin_score(
+    parameters: jax.Array,
+    true_projected_points: jax.Array,
+    visibility_mask: jax.Array,
+    config: BasinScoreConfig = BasinScoreConfig(),
+) -> jax.Array:
+    """Reprojection error plus plausibility penalties for basin selection.
+
+    Lower is better.  Inside the plausible domain the score equals
+    :func:`calibration_error` exactly, so selection is unchanged whenever
+    all restarts land in plausible basins; estimates with implausible
+    intrinsics or points behind cameras are pushed out of contention even
+    when their raw reprojection error is lower (the projective-ambiguity
+    failure mode measured in ROADMAP.md).
+
+    :param parameters: ``(B..., P)`` flat calibration vectors.
+    :param true_projected_points: ``(B..., M, N, 2)`` observed pixels.
+    :param visibility_mask: ``(B..., M, N)`` boolean/float visibility.
+    :return: ``(B...,)`` scores.
+    """
+    num_views = true_projected_points.shape[-3]
+    num_points = true_projected_points.shape[-2]
+    error = calibration_error(parameters, true_projected_points, visibility_mask)
+    params = unpack_calibration_parameters(parameters, num_views, num_points)
+
+    # effective focal matches pixel_coordinates_to_homogeneous: elu(f) + 1
+    f_eff = jax.nn.elu(params.intrinsics[..., 0, 0, 0]) + 1.0
+    log_f = jnp.log(jnp.maximum(f_eff, 1e-6))
+    lo, hi = config.log_focal_bounds
+    focal_penalty = jnp.square(jax.nn.relu(log_f - hi)) + jnp.square(
+        jax.nn.relu(lo - log_f)
+    )
+
+    centre = params.intrinsics[..., 0, 0, 1:3]
+    centre_penalty = jnp.sum(
+        jnp.square(jax.nn.relu(jnp.abs(centre) - config.centre_bound)), axis=-1
+    )
+
+    relative = get_camera_relative_points(
+        world_points=params.world_points,
+        camera_translations=params.camera_translations,
+        camera_rotations=params.camera_rotations,
+    )
+    vis = visibility_mask.astype(error.dtype)
+    behind = jnp.square(jax.nn.relu(config.depth_margin - relative[..., 2]))
+    depth_penalty = jnp.sum(behind * vis, axis=(-1, -2)) / jnp.maximum(
+        jnp.sum(vis, axis=(-1, -2)), 1.0
+    )
+
+    return (
+        error
+        + config.focal_weight * focal_penalty
+        + config.centre_weight * centre_penalty
+        + config.depth_weight * depth_penalty
+    )

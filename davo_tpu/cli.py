@@ -53,6 +53,9 @@ def main(argv=None):
     eval_p.add_argument(
         "--restarts", type=int, default=None, help="multi-start eval solves"
     )
+    eval_p.add_argument(
+        "--selection", default=None, help="restart selection: error | basin"
+    )
     sub.add_parser("bench", help="run the headline benchmark")
     sub.add_parser("presets", help="list experiment presets")
     vo_p = sub.add_parser(
@@ -64,6 +67,7 @@ def main(argv=None):
     vo_p.add_argument("--points", type=int, default=8)
     vo_p.add_argument("--trials", type=int, default=3)
     vo_p.add_argument("--restarts", type=int, default=8)
+    vo_p.add_argument("--selection", default="error", help="error | basin")
     vo_p.add_argument("--no-refine", action="store_true")
     vo_p.add_argument("--platform", default=None)
     args = parser.parse_args(argv)
@@ -108,6 +112,7 @@ def main(argv=None):
             num_views=args.window,
             num_points=args.points,
             num_restarts=args.restarts,
+            selection=args.selection,
         )
         net = net_cfg.build_network()
         with open(args.checkpoint, "rb") as f:
@@ -195,6 +200,8 @@ def main(argv=None):
 
     if getattr(args, "restarts", None):
         config = dataclasses.replace(config, num_restarts=args.restarts)
+    if getattr(args, "selection", None):
+        config = dataclasses.replace(config, selection=args.selection)
     key = jax.random.key(config.seed)
     network, state = create_train_state(config, key)
     if args.checkpoint_dir:

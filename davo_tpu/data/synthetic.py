@@ -50,6 +50,11 @@ class SceneConfig:
     camera_target_spread: float = 3.0
     camera_up_spread: float = 3.0
     points_std: float = 3.0
+    # FOV sampling range (reference fixes 30-120 deg,
+    # ``data/camera_and_parameters_dataset.py:147-151``); narrowing it
+    # supports curriculum training of the guess network.
+    fov_min_degrees: float = 30.0
+    fov_max_degrees: float = 120.0
     dtype: jnp.dtype = jnp.float32
 
 
@@ -124,7 +129,11 @@ def generate_scene(key: jax.Array, config: SceneConfig) -> CameraViewsAndPoints:
     translations = -jnp.einsum("vij,vj->vi", rotations_mat, locations)
 
     # --- intrinsics -----------------------------------------------------
-    fov = (jnp.pi / 6.0) + (jnp.pi / 2.0) * jax.random.uniform(k_fov, (), dtype)
+    fov_lo = jnp.deg2rad(jnp.asarray(config.fov_min_degrees, dtype))
+    fov_span = jnp.deg2rad(
+        jnp.asarray(config.fov_max_degrees - config.fov_min_degrees, dtype)
+    )
+    fov = fov_lo + fov_span * jax.random.uniform(k_fov, (), dtype)
     focal_length = 1.0 / jnp.tan(fov / 2.0)
     centre = jnp.clip(
         0.2 * jax.random.normal(k_centre, (2,), dtype), -0.5, 0.5

@@ -18,7 +18,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from davo_tpu.camera import calibration_error, num_calibration_parameters
+from davo_tpu.camera import (
+    BasinScoreConfig,
+    basin_score,
+    calibration_error,
+    num_calibration_parameters,
+)
 from davo_tpu.solve import BFGSConfig, bfgs_solve
 
 __all__ = [
@@ -125,9 +130,15 @@ class CalibrationNetwork(nn.Module):
     )
     # Multi-start refinement at inference: solve from this many perturbed
     # copies of the guess (the gen-1 stack's E parallel-estimates idea
-    # applied to the gen-2 network) and keep the lowest-error estimate.
+    # applied to the gen-2 network) and keep the lowest-scoring estimate.
     num_restarts: int = 1
     restart_noise: float = 0.1
+    # Restart selection criterion: "error" = raw reprojection error (the
+    # reference-style choice), "basin" = reprojection error + plausibility
+    # penalties (davo_tpu.camera.basin_score) — raw error favours spurious
+    # projective basins whose intrinsics are far from truth.
+    selection: str = "error"
+    basin: BasinScoreConfig = BasinScoreConfig()
     # Guess head: "mlp" (reference architecture) or "transformer"
     # (per-observation tokens + attention).
     head: str = "mlp"
@@ -217,8 +228,18 @@ class CalibrationNetwork(nn.Module):
             solved = bfgs_solve(
                 multi_error, starts, self.solver, training=False
             )
-            errors = multi_error(solved)
-            best = jnp.argmin(errors, axis=-1)
+            if self.selection == "basin":
+                scores = basin_score(
+                    solved,
+                    true_projected_points[:, None],
+                    visibility[:, None],
+                    self.basin,
+                )
+            elif self.selection == "error":
+                scores = multi_error(solved)
+            else:
+                raise ValueError(f"Unknown selection: {self.selection!r}")
+            best = jnp.argmin(scores, axis=-1)
             result = jnp.take_along_axis(
                 solved, best[:, None, None], axis=1
             )[:, 0]

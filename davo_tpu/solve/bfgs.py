@@ -67,6 +67,13 @@ class BFGSConfig:
     # [min_step_distance, max_step_distance].  None disables either bound.
     max_step_distance: Optional[float] = None
     min_step_distance: Optional[float] = None
+    # Storage dtype for the (B..., P, P) inverse-Hessian loop carry; the
+    # update itself always runs in the parameter dtype.  "bfloat16" halves
+    # the dominant HBM traffic per iteration at large P (the H carry is
+    # re-read and re-written every step) at the cost of ~3 significant
+    # digits on the search direction — the Wolfe line search absorbs the
+    # resulting scale error.  None stores in the parameter dtype.
+    hessian_dtype: Optional[str] = None
 
     def resolve(self, training: bool) -> tuple[int, float]:
         iterations = self.iterations
@@ -211,6 +218,7 @@ def bfgs_solve(
 
     batch_shape = parameters.shape[:-1]
     dtype = parameters.dtype
+    h_dtype = jnp.dtype(config.hessian_dtype) if config.hessian_dtype else dtype
 
     def init_carry(params):
         return dict(
@@ -218,7 +226,7 @@ def bfgs_solve(
             error=jnp.zeros(batch_shape, dtype=dtype),
             gradient=jnp.zeros_like(params),
             inverse_hessian=jnp.broadcast_to(
-                jnp.eye(params.shape[-1], dtype=dtype),
+                jnp.eye(params.shape[-1], dtype=h_dtype),
                 batch_shape + (params.shape[-1], params.shape[-1]),
             ),
             step=jnp.zeros_like(params),
@@ -255,7 +263,10 @@ def bfgs_solve(
         is_first = step_idx == 0
         is_second = step_idx == 1
         delta_gradient = gradient - prev_gradient
-        inverse_hessian = carry["inverse_hessian"]
+        # The (B..., P, P) carry may be stored reduced-precision
+        # (config.hessian_dtype); the update math always runs in the
+        # parameter dtype — the up-cast fuses into the first use.
+        inverse_hessian = carry["inverse_hessian"].astype(dtype)
         rescale = scale_initial_inverse_hessian(carry["step"], delta_gradient)
         inverse_hessian = jnp.where(
             is_second, rescale[..., None] * inverse_hessian, inverse_hessian
@@ -316,7 +327,7 @@ def bfgs_solve(
             params=params,
             error=error,
             gradient=gradient,
-            inverse_hessian=inverse_hessian,
+            inverse_hessian=inverse_hessian.astype(h_dtype),
             step=step,
             updating=updating,
             step_idx=step_idx + 1,

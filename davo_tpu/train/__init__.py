@@ -6,6 +6,7 @@ from .calibration import (
     make_eval_step,
     evaluate_calibration_ate,
     fit,
+    fit_fov_curriculum,
 )
 from .optimisation import (
     OptimisationExperiment,
@@ -37,6 +38,7 @@ __all__ = [
     "make_eval_step",
     "evaluate_calibration_ate",
     "fit",
+    "fit_fov_curriculum",
     "OptimisationExperiment",
     "create_optimisation_state",
     "make_optimisation_train_step",

@@ -78,9 +78,14 @@ class CalibrationExperiment:
     # Multi-start eval solves (best-of-E); training always single-start.
     num_restarts: int = 1
     restart_noise: float = 0.1
+    # Restart selection: "error" (raw reprojection) or "basin"
+    # (plausibility-penalised, davo_tpu.camera.basin_score).
+    selection: str = "error"
     # Guess head: "mlp" (reference) or "transformer" (per-observation
     # tokens + attention).
     head: str = "mlp"
+    transformer_layers: int = 3
+    transformer_heads: int = 4
     # Training-scene distribution: "scenes" (reference-style camera
     # clusters) or "vo_windows" (orbit-arc keyframe windows matching the
     # windowed-VO geometry, davo_tpu.data.vo_windows).
@@ -143,7 +148,10 @@ class CalibrationExperiment:
             solver=self.solver,
             num_restarts=self.num_restarts,
             restart_noise=self.restart_noise,
+            selection=self.selection,
             head=self.head,
+            transformer_layers=self.transformer_layers,
+            transformer_heads=self.transformer_heads,
         )
 
 
@@ -393,11 +401,23 @@ def fit(
     *,
     epochs: Optional[int] = None,
     log_fn: Callable[[str, int, Dict[str, float]], None] = None,
+    initial_state: Optional[TrainState] = None,
+    epoch_offset: int = 0,
 ) -> Tuple[TrainState, Dict[str, list]]:
-    """Train the calibration network; returns the final state + history."""
+    """Train the calibration network; returns the final state + history.
+
+    ``initial_state`` resumes from an existing state (curriculum stages or
+    checkpoint restore); the optimiser schedule continues from the state's
+    step count.  ``epoch_offset`` only shifts the epoch passed to
+    ``log_fn`` and the data keys so stages do not repeat batches.
+    """
     key = jax.random.key(config.seed)
+    if epoch_offset:
+        key = jax.random.fold_in(key, epoch_offset)
     init_key, key = jax.random.split(key)
     network, state = create_train_state(config, init_key)
+    if initial_state is not None:
+        state = initial_state
     train_step = make_train_step(network, config)
     eval_step = make_eval_step(network, config)
 
@@ -426,6 +446,54 @@ def fit(
         history["train"].append(train_avg)
         history["val"].append(val_avg)
         if log_fn is not None:
-            log_fn("train", epoch, train_avg)
-            log_fn("val", epoch, val_avg)
+            log_fn("train", epoch + epoch_offset, train_avg)
+            log_fn("val", epoch + epoch_offset, val_avg)
+    return state, history
+
+
+def fit_fov_curriculum(
+    config: CalibrationExperiment,
+    stages: Tuple[Tuple[float, float, int], ...] = (
+        (50.0, 80.0, None),
+        (35.0, 105.0, None),
+        (30.0, 120.0, None),
+    ),
+    *,
+    log_fn: Callable[[str, int, Dict[str, float]], None] = None,
+) -> Tuple[TrainState, Dict[str, list]]:
+    """Train with a narrow-to-wide FOV curriculum (ROADMAP round-2 item).
+
+    Each stage is ``(fov_min_deg, fov_max_deg, epochs)``; ``None`` epochs
+    splits ``config.epochs`` evenly across such stages.  One optimiser/LR
+    schedule spans the whole run (the schedule is built from
+    ``config.epochs``); only the scene distribution changes per stage, at
+    the cost of one train-step recompile each.
+    """
+    remaining = config.epochs - sum(e for _, _, e in stages if e)
+    flexible = [i for i, (_, _, e) in enumerate(stages) if not e]
+    per_flex = max(remaining // max(len(flexible), 1), 0)
+    state = None
+    history = {"train": [], "val": []}
+    offset = 0
+    for i, (lo, hi, stage_epochs) in enumerate(stages):
+        if stage_epochs is None:
+            stage_epochs = per_flex + (
+                remaining - per_flex * len(flexible)
+                if i == flexible[-1]
+                else 0
+            )
+        scene = dataclasses.replace(
+            config.resolved_scene(), fov_min_degrees=lo, fov_max_degrees=hi
+        )
+        stage_cfg = dataclasses.replace(config, scene=scene)
+        state, h = fit(
+            stage_cfg,
+            epochs=stage_epochs,
+            log_fn=log_fn,
+            initial_state=state,
+            epoch_offset=offset,
+        )
+        history["train"].extend(h["train"])
+        history["val"].extend(h["val"])
+        offset += stage_epochs
     return state, history

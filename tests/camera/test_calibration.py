@@ -153,3 +153,85 @@ class TestCalibrationError:
             ).sum()
         )(noisy)
         assert np.all(np.isfinite(g))
+
+
+class TestBasinScore:
+    def _true_parameters(self, scene, scale=1.0):
+        return TestCalibrationError._true_parameters(self, scene, scale)
+
+    def test_equals_error_at_ground_truth(self, key):
+        # ground-truth scenes lie inside the plausible domain, so the
+        # penalties are exactly zero and the score == the reprojection error
+        from davo_tpu.camera import basin_score
+
+        cfg = SceneConfig(num_views=3, num_points=6, dtype=jnp.float64)
+        scenes = generate_batch(key, 4, cfg)
+        params = self._true_parameters(scenes)
+        err = calibration_error(
+            params, scenes.projected_points, scenes.visibility_mask
+        )
+        score = basin_score(
+            params, scenes.projected_points, scenes.visibility_mask
+        )
+        np.testing.assert_allclose(score, err, atol=1e-12)
+
+    def test_penalises_implausible_focal(self, key):
+        from davo_tpu.camera import basin_score
+
+        cfg = SceneConfig(num_views=3, num_points=6, dtype=jnp.float64)
+        scenes = generate_batch(key, 2, cfg)
+        params = self._true_parameters(scenes)
+        # push the raw focal parameter way above the domain (f_eff ~ 31)
+        bad = params.at[:, 0].set(30.0)
+        base = basin_score(params, scenes.projected_points, scenes.visibility_mask)
+        worse = basin_score(bad, scenes.projected_points, scenes.visibility_mask)
+        assert np.all(np.asarray(worse) > np.asarray(base))
+        # and the focal penalty specifically exceeds the error change
+        err_bad = calibration_error(
+            bad, scenes.projected_points, scenes.visibility_mask
+        )
+        assert np.all(np.asarray(worse - err_bad) > 0.5)
+
+    def test_penalises_points_behind_camera(self, key):
+        from davo_tpu.camera import basin_score, unpack_calibration_parameters
+        from davo_tpu.camera import pack_calibration_parameters
+
+        cfg = SceneConfig(num_views=3, num_points=6, dtype=jnp.float64)
+        scenes = generate_batch(key, 2, cfg)
+        params = self._true_parameters(scenes)
+        unpacked = unpack_calibration_parameters(params, 3, 6)
+        flipped = unpacked._replace(
+            world_points=unpacked.world_points.at[..., 2].multiply(-1.0)
+        )
+        bad = pack_calibration_parameters(flipped)
+        err_bad = calibration_error(
+            bad, scenes.projected_points, scenes.visibility_mask
+        )
+        score_bad = basin_score(
+            bad, scenes.projected_points, scenes.visibility_mask
+        )
+        assert np.all(np.asarray(score_bad) > np.asarray(err_bad))
+
+    def test_network_selection_option(self, key):
+        # the network accepts selection="basin" and returns the same shape
+        from davo_tpu.models import CalibrationNetwork
+        from davo_tpu.solve import BFGSConfig
+
+        cfg = SceneConfig(num_views=3, num_points=4, dtype=jnp.float32)
+        scenes = generate_batch(key, 2, cfg)
+        net = CalibrationNetwork(
+            num_views=3,
+            num_points=4,
+            hidden_size=16,
+            solver=BFGSConfig(iterations=3, line_search_iterations=4),
+            num_restarts=3,
+            selection="basin",
+        )
+        variables = net.init(
+            jax.random.key(0), scenes.projected_points, scenes.visibility_mask
+        )
+        out = net.apply(
+            variables, scenes.projected_points, scenes.visibility_mask
+        )
+        assert out.shape == (2, 3 + 3 * 4 + 6 * 2)
+        assert np.all(np.isfinite(np.asarray(out)))
