@@ -198,6 +198,12 @@ class BasinScoreConfig:
     # minimum camera-frame depth (scene is gauge-rescaled to mean |coord| 1)
     depth_margin: float = 0.05
     depth_weight: float = 1.0
+    # Quadratic pull of each estimate's log-focal towards an anchor (the
+    # guess network's predicted focal, passed by the caller): the guess is
+    # trained supervised and is the trusted intrinsics signal, while lower
+    # reprojection error is NOT closer to truth under the projective
+    # ambiguity — restarts should improve geometry, not re-pick the focal.
+    anchor_weight: float = 0.0
 
 
 def basin_score(
@@ -205,6 +211,7 @@ def basin_score(
     true_projected_points: jax.Array,
     visibility_mask: jax.Array,
     config: BasinScoreConfig = BasinScoreConfig(),
+    anchor_log_focal: jax.Array | None = None,
 ) -> jax.Array:
     """Reprojection error plus plausibility penalties for basin selection.
 
@@ -249,9 +256,14 @@ def basin_score(
         jnp.sum(vis, axis=(-1, -2)), 1.0
     )
 
-    return (
+    score = (
         error
         + config.focal_weight * focal_penalty
         + config.centre_weight * centre_penalty
         + config.depth_weight * depth_penalty
     )
+    if config.anchor_weight > 0.0 and anchor_log_focal is not None:
+        score = score + config.anchor_weight * jnp.square(
+            log_f - anchor_log_focal
+        )
+    return score

@@ -31,11 +31,23 @@ def _add_common(p):
     p.add_argument("--platform", default=None, help="force a jax platform (cpu/tpu)")
     p.add_argument("--head", default=None, help="guess head: mlp | transformer")
     p.add_argument("--learning-rate", type=float, default=None)
+    p.add_argument("--hidden-size", type=int, default=None)
+    p.add_argument("--transformer-layers", type=int, default=None)
+    p.add_argument("--transformer-heads", type=int, default=None)
 
 
 def _apply_overrides(config, args):
     updates = {}
-    for field in ("epochs", "batch_size", "seed", "head", "learning_rate"):
+    for field in (
+        "epochs",
+        "batch_size",
+        "seed",
+        "head",
+        "learning_rate",
+        "hidden_size",
+        "transformer_layers",
+        "transformer_heads",
+    ):
         value = getattr(args, field, None)
         if value is not None and hasattr(config, field):
             updates[field] = value
@@ -56,6 +68,12 @@ def main(argv=None):
     eval_p.add_argument(
         "--selection", default=None, help="restart selection: error | basin"
     )
+    eval_p.add_argument(
+        "--basin-anchor",
+        type=float,
+        default=None,
+        help="basin-score pull towards the guess focal (0 disables)",
+    )
     sub.add_parser("bench", help="run the headline benchmark")
     sub.add_parser("presets", help="list experiment presets")
     vo_p = sub.add_parser(
@@ -68,6 +86,10 @@ def main(argv=None):
     vo_p.add_argument("--trials", type=int, default=3)
     vo_p.add_argument("--restarts", type=int, default=8)
     vo_p.add_argument("--selection", default="error", help="error | basin")
+    vo_p.add_argument("--basin-anchor", type=float, default=0.0)
+    vo_p.add_argument("--hidden-size", type=int, default=None)
+    vo_p.add_argument("--transformer-layers", type=int, default=None)
+    vo_p.add_argument("--transformer-heads", type=int, default=None)
     vo_p.add_argument("--no-refine", action="store_true")
     vo_p.add_argument("--platform", default=None)
     args = parser.parse_args(argv)
@@ -113,7 +135,12 @@ def main(argv=None):
             num_points=args.points,
             num_restarts=args.restarts,
             selection=args.selection,
+            basin_anchor_weight=args.basin_anchor,
         )
+        for field in ("hidden_size", "transformer_layers", "transformer_heads"):
+            value = getattr(args, field, None)
+            if value is not None:
+                net_cfg = dataclasses.replace(net_cfg, **{field: value})
         net = net_cfg.build_network()
         with open(args.checkpoint, "rb") as f:
             restored = pickle.load(f)
@@ -202,6 +229,10 @@ def main(argv=None):
         config = dataclasses.replace(config, num_restarts=args.restarts)
     if getattr(args, "selection", None):
         config = dataclasses.replace(config, selection=args.selection)
+    if getattr(args, "basin_anchor", None) is not None:
+        config = dataclasses.replace(
+            config, basin_anchor_weight=args.basin_anchor
+        )
     key = jax.random.key(config.seed)
     network, state = create_train_state(config, key)
     if args.checkpoint_dir:

@@ -229,11 +229,18 @@ class CalibrationNetwork(nn.Module):
                 multi_error, starts, self.solver, training=False
             )
             if self.selection == "basin":
+                anchor = None
+                if self.basin.anchor_weight > 0.0:
+                    # log of the guess head's effective focal (elu(f)+1,
+                    # matching pixel_coordinates_to_homogeneous)
+                    f_guess = jax.nn.elu(initial_guess[:, 0]) + 1.0
+                    anchor = jnp.log(jnp.maximum(f_guess, 1e-6))[:, None]
                 scores = basin_score(
                     solved,
                     true_projected_points[:, None],
                     visibility[:, None],
                     self.basin,
+                    anchor_log_focal=anchor,
                 )
             elif self.selection == "error":
                 scores = multi_error(solved)

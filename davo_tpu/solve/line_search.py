@@ -87,10 +87,13 @@ def line_search_wolfe_conditions(
         dphi0 = jnp.sum(direction * grad0, axis=-1)
 
         def phi_and_dphi(alpha):
+            # phi'(alpha) is a *directional* derivative, so forward-mode
+            # gives (phi, phi') in one jvp pass — cheaper than the reverse
+            # pass (full gradient + dot) for the many probes the search
+            # makes (the reference differentiates w.r.t. the scalar alpha
+            # for the same reason, ``wolfe_conditions.py:133-143``).
             probe = params + alpha[..., None] * direction
-            err, pullback = jax.vjp(error_function, probe)
-            (dprobe,) = pullback(jnp.ones_like(err))
-            return err, jnp.sum(dprobe * direction, axis=-1)
+            return jax.jvp(error_function, (probe,), (direction,))
 
         zeros = jnp.zeros(batch_shape, dtype=dtype)
         init = dict(

@@ -26,7 +26,7 @@ from flax import core
 from flax import struct
 from flax.training import train_state
 
-from davo_tpu.camera import unpack_calibration_parameters
+from davo_tpu.camera import BasinScoreConfig, unpack_calibration_parameters
 from davo_tpu.data import SceneConfig, generate_batch
 from davo_tpu.models.calibration_network import CalibrationNetwork
 from davo_tpu.solve import BFGSConfig
@@ -81,6 +81,8 @@ class CalibrationExperiment:
     # Restart selection: "error" (raw reprojection) or "basin"
     # (plausibility-penalised, davo_tpu.camera.basin_score).
     selection: str = "error"
+    # anchor_weight of the basin score (pull towards the guess's focal).
+    basin_anchor_weight: float = 0.0
     # Guess head: "mlp" (reference) or "transformer" (per-observation
     # tokens + attention).
     head: str = "mlp"
@@ -149,6 +151,7 @@ class CalibrationExperiment:
             num_restarts=self.num_restarts,
             restart_noise=self.restart_noise,
             selection=self.selection,
+            basin=BasinScoreConfig(anchor_weight=self.basin_anchor_weight),
             head=self.head,
             transformer_layers=self.transformer_layers,
             transformer_heads=self.transformer_heads,

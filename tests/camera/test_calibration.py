@@ -235,3 +235,28 @@ class TestBasinScore:
         )
         assert out.shape == (2, 3 + 3 * 4 + 6 * 2)
         assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_anchor_pulls_selection_towards_guess_focal(self, key):
+        from davo_tpu.camera import BasinScoreConfig, basin_score
+
+        cfg = SceneConfig(num_views=3, num_points=6, dtype=jnp.float64)
+        scenes = generate_batch(key, 2, cfg)
+        params = self._true_parameters(scenes)
+        anchored = BasinScoreConfig(anchor_weight=2.0)
+        # anchor at the true focal: zero extra penalty
+        f_eff = np.asarray(scenes.camera_intrinsics)[:, 0]
+        anchor = jnp.asarray(np.log(f_eff))
+        base = basin_score(
+            params, scenes.projected_points, scenes.visibility_mask,
+            anchored, anchor_log_focal=anchor,
+        )
+        err = calibration_error(
+            params, scenes.projected_points, scenes.visibility_mask
+        )
+        np.testing.assert_allclose(base, err, atol=1e-10)
+        # anchor far away: score increases by anchor_weight * delta^2
+        far = basin_score(
+            params, scenes.projected_points, scenes.visibility_mask,
+            anchored, anchor_log_focal=anchor + 1.0,
+        )
+        np.testing.assert_allclose(far - base, 2.0 * np.ones(2), atol=1e-8)
