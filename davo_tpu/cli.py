@@ -91,6 +91,18 @@ def main(argv=None):
     vo_p.add_argument("--transformer-layers", type=int, default=None)
     vo_p.add_argument("--transformer-heads", type=int, default=None)
     vo_p.add_argument("--no-refine", action="store_true")
+    vo_p.add_argument(
+        "--refine-rounds",
+        type=int,
+        default=1,
+        help="alternating re-triangulation + BA rounds in the refinement",
+    )
+    vo_p.add_argument(
+        "--host-polish",
+        action="store_true",
+        help="final float64 global BA on the host CPU (removes the f32 "
+        "normal-equation precision floor; TPUs have no native f64)",
+    )
     vo_p.add_argument("--platform", default=None)
     args = parser.parse_args(argv)
 
@@ -165,6 +177,8 @@ def main(argv=None):
                 jax.random.key(100 + trial),
                 tcfg,
                 refine=not args.no_refine,
+                refine_rounds=args.refine_rounds,
+                host_polish=args.host_polish,
             )
             results.append({k: float(v) for k, v in ate.items()})
             print(json.dumps({"trial": trial, **results[-1]}), flush=True)

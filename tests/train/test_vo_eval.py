@@ -192,6 +192,108 @@ class TestGlobalRefinement:
             dict(after),
         )
 
+    def test_multi_round_refinement_recovers_scale_drift(self, key):
+        """Alternating re-triangulation + BA rounds must beat a single
+        pass on a trajectory corrupted by accumulating scale drift (the
+        learned-VO stitching failure mode)."""
+        from davo_tpu.train.vo_eval import refine_trajectory_global
+
+        cfg = TrajectoryConfig(num_frames=10, num_points=24)
+        poses, _, pixels, visibility = generate_trajectory(key, cfg)
+        # per-frame multiplicative drift on the translation magnitude,
+        # compounding along the sequence like chained window scales
+        drift = jnp.cumprod(
+            1.0
+            + 0.04 * jax.random.normal(jax.random.fold_in(key, 5), (10,))
+        )
+        drifted = poses.at[:, 3:6].multiply(drift[:, None])
+        intr = jnp.asarray([cfg.focal_length, 0.0, 0.0])
+        true_c = camera_centers_from_poses(poses[:, 0:3], poses[:, 3:6])
+
+        def ate(est):
+            return float(
+                absolute_trajectory_error(
+                    camera_centers_from_poses(est[:, 0:3], est[:, 3:6]),
+                    true_c,
+                )["rmse"]
+            )
+
+        one = refine_trajectory_global(drifted, intr, pixels, visibility)
+        three = refine_trajectory_global(
+            drifted, intr, pixels, visibility, rounds=3
+        )
+        assert ate(three) <= ate(one) + 1e-9, (ate(one), ate(three))
+        assert ate(three) < 0.5 * ate(drifted)
+
+    def test_host_polish_solves_in_f64_from_f32_inputs(self, key):
+        """The host polish takes f32 (TPU-resident) arrays, runs the whole
+        triangulate+BA refinement in float64 on the host, and hands back
+        the input dtype.  From an unrefined noisy start it must reach the
+        (noise-free) global optimum to f32-representable accuracy."""
+        from davo_tpu.train.vo_eval import refine_trajectory_host_f64
+
+        cfg = TrajectoryConfig(num_frames=10, num_points=16)
+        poses, _, pixels, visibility = generate_trajectory(key, cfg)
+        noisy = poses.at[1:].add(
+            0.05 * jax.random.normal(jax.random.fold_in(key, 9), (9, 6))
+        )
+        intr = jnp.asarray([cfg.focal_length, 0.0, 0.0])
+        true_c = camera_centers_from_poses(poses[:, 0:3], poses[:, 3:6])
+
+        def ate(est):
+            est = est.astype(true_c.dtype)
+            return float(
+                absolute_trajectory_error(
+                    camera_centers_from_poses(est[:, 0:3], est[:, 3:6]),
+                    true_c,
+                )["rmse"]
+            )
+
+        polished = refine_trajectory_host_f64(
+            noisy.astype(jnp.float32),
+            intr.astype(jnp.float32),
+            pixels.astype(jnp.float32),
+            visibility,
+        )
+        assert polished.dtype == jnp.float32  # returned in input dtype
+        assert ate(polished) < 1e-4, ate(polished)
+
+    def test_scale_drift_correction_recovers_segment_scales(self, key):
+        """``correct_scale_drift`` must undo compounding per-segment scale
+        errors of the camera-centre increments (the stitching failure
+        mode) without touching rotations."""
+        from davo_tpu.geometry import so3_rotation_matrix
+        from davo_tpu.train.vo_eval import correct_scale_drift
+
+        cfg = TrajectoryConfig(num_frames=12, num_points=16)
+        poses, _, pixels, visibility = generate_trajectory(key, cfg)
+        rot = so3_rotation_matrix(poses[:, 0:3])
+        centres = -jnp.einsum("kji,kj->ki", rot, poses[:, 3:6])
+        deltas = centres[1:] - centres[:-1]
+        seg_scale = 1.0 + 0.15 * jax.random.normal(
+            jax.random.fold_in(key, 6), (11,)
+        )
+        bad_centres = centres[0] + jnp.concatenate(
+            [jnp.zeros((1, 3)), jnp.cumsum(seg_scale[:, None] * deltas, 0)]
+        )
+        bad_t = -jnp.einsum("kij,kj->ki", rot, bad_centres)
+        bad = jnp.concatenate([poses[:, 0:3], bad_t], axis=-1)
+        intr = jnp.asarray([cfg.focal_length, 0.0, 0.0])
+        true_c = camera_centers_from_poses(poses[:, 0:3], poses[:, 3:6])
+
+        def ate(est):
+            return float(
+                absolute_trajectory_error(
+                    camera_centers_from_poses(est[:, 0:3], est[:, 3:6]),
+                    true_c,
+                )["rmse"]
+            )
+
+        corrected = correct_scale_drift(bad, intr, pixels, visibility)
+        assert ate(corrected) < 1e-3, (ate(bad), ate(corrected))
+        # rotations untouched
+        np.testing.assert_array_equal(corrected[:, 0:3], bad[:, 0:3])
+
     def test_refinement_on_mesh_matches(self, key):
         from davo_tpu.train.vo_eval import refine_trajectory_global
         from davo_tpu.parallel import make_mesh
