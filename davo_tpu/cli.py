@@ -23,6 +23,12 @@ import time
 
 def _add_common(p):
     p.add_argument("--preset", default="calibration_from_oracle_matches")
+    p.add_argument(
+        "--config",
+        default=None,
+        help="YAML experiment config (see configurations/*.yaml); its "
+        "optional `preset:` key replaces --preset, CLI flags override both",
+    )
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
@@ -96,6 +102,14 @@ def main(argv=None):
         type=int,
         default=1,
         help="alternating re-triangulation + BA rounds in the refinement",
+    )
+    vo_p.add_argument(
+        "--multistart",
+        type=int,
+        default=0,
+        help="refine this many scale-mode hypotheses of the stitched "
+        "trajectory in one vmapped batch and keep the lowest-cost one "
+        "(0 = single-start refinement)",
     )
     vo_p.add_argument(
         "--host-polish",
@@ -179,6 +193,7 @@ def main(argv=None):
                 refine=not args.no_refine,
                 refine_rounds=args.refine_rounds,
                 host_polish=args.host_polish,
+                multistart=args.multistart,
             )
             results.append({k: float(v) for k, v in ate.items()})
             print(json.dumps({"trial": trial, **results[-1]}), flush=True)
@@ -195,7 +210,13 @@ def main(argv=None):
     )
     from davo_tpu.train.metrics import MetricsLogger
 
-    config = _apply_overrides(get_preset(args.preset), args)
+    if getattr(args, "config", None):
+        from davo_tpu.train import load_config_yaml
+
+        config = load_config_yaml(args.config)
+    else:
+        config = get_preset(args.preset)
+    config = _apply_overrides(config, args)
     logger = MetricsLogger(args.metrics_file)
 
     if not isinstance(config, CalibrationExperiment):

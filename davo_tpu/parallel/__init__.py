@@ -11,6 +11,7 @@ from .schur import (
     BAObservations,
     SchurConfig,
     ba_residuals,
+    ba_cost,
     schur_normal_step,
     schur_ba_solve,
     distributed_schur_ba,
@@ -28,6 +29,7 @@ __all__ = [
     "BAObservations",
     "SchurConfig",
     "ba_residuals",
+    "ba_cost",
     "schur_normal_step",
     "schur_ba_solve",
     "distributed_schur_ba",

@@ -15,6 +15,7 @@ from .optimisation import (
     fit_optimisation,
 )
 from .presets import PRESETS, get_preset
+from .config_io import load_config_yaml, apply_config_mapping
 from .checkpoint import save_checkpoint, restore_checkpoint, latest_step
 from .metrics import MetricsLogger, weight_summaries
 from .vo_eval import (
@@ -31,6 +32,8 @@ from .evaluation import (
 )
 
 __all__ = [
+    "load_config_yaml",
+    "apply_config_mapping",
     "CalibrationExperiment",
     "TrainState",
     "create_train_state",

@@ -294,6 +294,56 @@ class TestGlobalRefinement:
         # rotations untouched
         np.testing.assert_array_equal(corrected[:, 0:3], bad[:, 0:3])
 
+    def test_rescale_segments_identity_at_zero(self, key):
+        from davo_tpu.train.vo_eval import _rescale_segments
+
+        cfg = TrajectoryConfig(num_frames=8, num_points=8)
+        poses, _, _, _ = generate_trajectory(key, cfg)
+        out = _rescale_segments(poses, jnp.zeros(7))
+        np.testing.assert_allclose(out, poses, atol=1e-5)
+
+    def test_multistart_escapes_scale_drift_minimum(self, key):
+        """A strongly drifted trajectory whose single-start refinement
+        stays trapped must be recovered by the multi-hypothesis scale-mode
+        search (cost selects the true basin on noiseless sequences)."""
+        from davo_tpu.train.vo_eval import (
+            _rescale_segments,
+            refine_trajectory_global,
+            refine_trajectory_multistart,
+        )
+
+        cfg = TrajectoryConfig(num_frames=12, num_points=8)
+        poses, _, pixels, visibility = generate_trajectory(key, cfg)
+        # a large low-frequency scale deformation (the stitching error mode)
+        seg = jnp.arange(11, dtype=poses.dtype)
+        log_s = 0.5 * jnp.cos(jnp.pi * (seg + 0.5) / 11.0)
+        drifted = _rescale_segments(poses, log_s)
+        intr = jnp.asarray([cfg.focal_length, 0.0, 0.0])
+        true_c = camera_centers_from_poses(poses[:, 0:3], poses[:, 3:6])
+
+        def ate(est):
+            return float(
+                absolute_trajectory_error(
+                    camera_centers_from_poses(est[:, 0:3], est[:, 3:6]),
+                    true_c,
+                )["rmse"]
+            )
+
+        single = refine_trajectory_global(
+            drifted, intr, pixels, visibility, rounds=2
+        )
+        multi = refine_trajectory_multistart(
+            drifted,
+            intr,
+            pixels,
+            visibility,
+            jax.random.fold_in(key, 11),
+            num_hypotheses=16,
+            sigma=0.4,
+        )
+        assert ate(multi) <= ate(single) + 1e-6, (ate(single), ate(multi))
+        assert ate(multi) < 0.25 * ate(drifted), (ate(drifted), ate(multi))
+
     def test_refinement_on_mesh_matches(self, key):
         from davo_tpu.train.vo_eval import refine_trajectory_global
         from davo_tpu.parallel import make_mesh
