@@ -61,14 +61,17 @@ def bench_backend(device) -> float:
 
     @jax.jit
     def solve(g):
-        return bfgs_solve(err_fn, g, solver)
+        # Reduce to a scalar so the timed fetch below forces the whole
+        # solve to complete: through the axon relay block_until_ready can
+        # return at enqueue, but a host transfer cannot.
+        return jnp.sum(bfgs_solve(err_fn, g, solver))
 
     with jax.default_device(device):
-        solve(guess).block_until_ready()  # compile
+        float(solve(guess))  # compile + warm
         runs = []
         for _ in range(3):
             start = time.perf_counter()
-            solve(guess).block_until_ready()
+            float(solve(guess))
             runs.append(time.perf_counter() - start)
     best = min(runs)
     return BATCH * ITERATIONS / best

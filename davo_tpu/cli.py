@@ -198,7 +198,7 @@ def main(argv=None):
             results.append({k: float(v) for k, v in ate.items()})
             print(json.dumps({"trial": trial, **results[-1]}), flush=True)
         mean_rmse = sum(r["rmse"] for r in results) / len(results)
-        print(json.dumps({"mean_ate_rmse": round(mean_rmse, 5)}))
+        print(json.dumps({"mean_ate_rmse": float(f"{mean_rmse:.6g}")}))
         return 0
 
     from davo_tpu.train import (

@@ -24,13 +24,13 @@ weighting (``loss="l1"``).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from davo_tpu.utils import full_f32_matmuls
 from davo_tpu.geometry import (
     rotate_vector_axis_angle,
     so3_parameter_jacobian,
@@ -52,23 +52,8 @@ __all__ = [
 _PIN_WEIGHT = 1e12
 
 
-def _full_f32_matmuls(fn):
-    """Trace ``fn`` under ``jax.default_matmul_precision("highest")``.
-
-    TPU matmuls/einsums default to bfloat16 passes; the Schur reduction
-    forms *normal equations*, so its accuracy floor is ~sqrt(matmul eps) —
-    measured as an ATE plateau of ~0.06 on the synthetic sequences under
-    the default, vs 5e-6 with full-f32 contractions (identical to host
-    CPU).  These systems are tiny ((3+6M)² camera blocks, 3×3 point
-    blocks); full-precision passes cost nothing at this scale.
-    """
-
-    @functools.wraps(fn)
-    def wrapped(*args, **kwargs):
-        with jax.default_matmul_precision("highest"):
-            return fn(*args, **kwargs)
-
-    return wrapped
+# normal equations square the condition number; see utils/precision.py
+_full_f32_matmuls = full_f32_matmuls
 
 
 class BAProblem(NamedTuple):

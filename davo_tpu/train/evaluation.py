@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from davo_tpu.geometry import so3_rotation_matrix
+from davo_tpu.utils import full_f32_matmuls
 
 __all__ = [
     "camera_centers_from_poses",
@@ -24,6 +25,7 @@ __all__ = [
 ]
 
 
+@full_f32_matmuls
 def camera_centers_from_poses(
     orientations: jax.Array, translations: jax.Array
 ) -> jax.Array:
@@ -37,6 +39,7 @@ def camera_centers_from_poses(
     return -jnp.einsum("...ji,...j->...i", rot, translations)
 
 
+@full_f32_matmuls
 def umeyama_alignment(
     source: jax.Array, target: jax.Array, with_scale: bool = True
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -65,6 +68,7 @@ def umeyama_alignment(
     return rot, t, scale
 
 
+@full_f32_matmuls
 def absolute_trajectory_error(
     estimated_positions: jax.Array,
     true_positions: jax.Array,

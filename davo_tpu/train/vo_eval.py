@@ -25,6 +25,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
+from davo_tpu.utils import full_f32_matmuls as _full_f32_matmuls
 from davo_tpu.geometry import (
     axis_angle_from_matrix,
     rotate_vector_axis_angle,
@@ -37,7 +38,6 @@ from davo_tpu.parallel import (
     ba_cost,
     schur_ba_solve,
 )
-from davo_tpu.parallel.schur import _full_f32_matmuls
 from .evaluation import absolute_trajectory_error, camera_centers_from_poses
 
 __all__ = [
@@ -73,6 +73,7 @@ def _pose_from_matrix(rot: jax.Array, centre: jax.Array) -> jax.Array:
     return jnp.concatenate([w, t], axis=-1)
 
 
+@_full_f32_matmuls
 def generate_trajectory(key: jax.Array, config: TrajectoryConfig):
     """Synthetic sequence: cameras orbit a point cloud, always looking at
     its centre.
@@ -150,6 +151,7 @@ def _to_window_frame(poses: jax.Array, anchor: jax.Array) -> jax.Array:
     return jax.vmap(one)(poses)
 
 
+@_full_f32_matmuls
 def solve_windowed_vo(
     true_poses: jax.Array,
     points: jax.Array,
@@ -227,6 +229,7 @@ def solve_windowed_vo(
     return estimates
 
 
+@_full_f32_matmuls
 def solve_windowed_vo_learned(
     guess_fn,
     pixels: jax.Array,
@@ -562,6 +565,7 @@ def correct_scale_drift(
     return poses_from_logscale(solved[0])
 
 
+@_full_f32_matmuls
 def refine_trajectory_host_f64(
     estimates: jax.Array,
     intrinsics: jax.Array,

@@ -1,3 +1,4 @@
+from .precision import full_f32_matmuls
 from .stable_trig import (
     sin_x_on_x,
     one_minus_cos_x_on_x_squared,
@@ -21,6 +22,7 @@ from .masked import (
 from .profiling import trace, timed, debug_nans
 
 __all__ = [
+    "full_f32_matmuls",
     "sin_x_on_x",
     "one_minus_cos_x_on_x_squared",
     "cos_x_on_x_squared_minus_sin_x_on_x_cubed",
