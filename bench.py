@@ -53,6 +53,10 @@ def bench_backend(device) -> float:
         minimum_step=0.0,
         drop_path_p=0.0,
         line_search_iterations=LINE_SEARCH_ITERS,
+        # Explicit per-device flag: auto-detection keys off the global
+        # device list, which would mis-fire for the CPU baseline compiled
+        # under jax.default_device on a TPU-backed process.
+        fused_hessian_kernel=device.platform == "tpu",
     )
     vis = batch.visibility_mask.astype(guess.dtype)
 

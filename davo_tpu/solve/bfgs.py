@@ -30,6 +30,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
+from davo_tpu.ops.bfgs_update import fused_bfgs_update_direction
 from davo_tpu.utils import inverse_curvature
 from .line_search import line_search_wolfe_conditions
 
@@ -74,6 +75,15 @@ class BFGSConfig:
     # digits on the search direction — the Wolfe line search absorbs the
     # resulting scale error.  None stores in the parameter dtype.
     hessian_dtype: Optional[str] = None
+    # Fused Pallas kernel for the inverse-Hessian update + search direction
+    # (ops/bfgs_update.py): channel-major (P, P, B) carry, one HBM
+    # read-modify-write per iteration.  Applies to the non-differentiable
+    # (eval) path on 2-D f32 batches with B % 128 == 0 and no hessian_dtype
+    # override; None auto-enables it on TPU when those hold.  NOTE: auto
+    # detection keys off jax.devices()[0] — pass an explicit False when
+    # compiling for host CPU under jax.default_device on a TPU-backed
+    # process (as bench.py's CPU baseline does).
+    fused_hessian_kernel: Optional[bool] = None
 
     def resolve(self, training: bool) -> tuple[int, float]:
         iterations = self.iterations
@@ -220,15 +230,39 @@ def bfgs_solve(
     dtype = parameters.dtype
     h_dtype = jnp.dtype(config.hessian_dtype) if config.hessian_dtype else dtype
 
+    fusable = (
+        not differentiable
+        and parameters.ndim == 2
+        and config.hessian_dtype is None
+        and dtype == jnp.float32
+        and parameters.shape[0] % 128 == 0
+    )
+    use_fused = config.fused_hessian_kernel
+    if use_fused is None:
+        use_fused = fusable and jax.devices()[0].platform == "tpu"
+    elif use_fused and not fusable:
+        raise ValueError(
+            "fused_hessian_kernel requires the non-differentiable path, a "
+            "2-D float32 batch with B % 128 == 0, and hessian_dtype=None"
+        )
+
     def init_carry(params):
+        p = params.shape[-1]
+        if use_fused:
+            # channel-major carry (P, P, B): batch fills the 128-wide lanes
+            inverse_hessian = jnp.broadcast_to(
+                jnp.eye(p, dtype=h_dtype)[:, :, None],
+                (p, p, params.shape[0]),
+            )
+        else:
+            inverse_hessian = jnp.broadcast_to(
+                jnp.eye(p, dtype=h_dtype), batch_shape + (p, p)
+            )
         return dict(
             params=params,
             error=jnp.zeros(batch_shape, dtype=dtype),
             gradient=jnp.zeros_like(params),
-            inverse_hessian=jnp.broadcast_to(
-                jnp.eye(params.shape[-1], dtype=h_dtype),
-                batch_shape + (params.shape[-1], params.shape[-1]),
-            ),
+            inverse_hessian=inverse_hessian,
             step=jnp.zeros_like(params),
             updating=jnp.ones(batch_shape, dtype=bool),
             step_idx=jnp.zeros((), dtype=jnp.int32),
@@ -263,25 +297,43 @@ def bfgs_solve(
         is_first = step_idx == 0
         is_second = step_idx == 1
         delta_gradient = gradient - prev_gradient
-        # The (B..., P, P) carry may be stored reduced-precision
-        # (config.hessian_dtype); the update math always runs in the
-        # parameter dtype — the up-cast fuses into the first use.
-        inverse_hessian = carry["inverse_hessian"].astype(dtype)
-        rescale = scale_initial_inverse_hessian(carry["step"], delta_gradient)
-        inverse_hessian = jnp.where(
-            is_second, rescale[..., None] * inverse_hessian, inverse_hessian
-        )
-        updated_hessian = update_inverse_hessian(
-            inverse_hessian, carry["step"], delta_gradient
-        )
-        updated_hessian = jnp.where(is_first, inverse_hessian, updated_hessian)
-        inverse_hessian = jnp.where(
-            updating[..., None, None], updated_hessian, inverse_hessian
-        )
-        newton_direction = -jnp.einsum(
-            "...ij,...j->...i", inverse_hessian, gradient
-        )
-        search_direction = jnp.where(is_first, -gradient, newton_direction)
+        if use_fused:
+            # One HBM read-modify-write over the (P, P, B) carry: rescale,
+            # guarded rank-2 update, active-set merge, and -H grad fused
+            # (ops/bfgs_update.py).
+            inverse_hessian, search_direction = fused_bfgs_update_direction(
+                carry["inverse_hessian"],
+                carry["step"],
+                delta_gradient,
+                gradient,
+                updating,
+                is_first,
+                is_second,
+            )
+        else:
+            # The (B..., P, P) carry may be stored reduced-precision
+            # (config.hessian_dtype); the update math always runs in the
+            # parameter dtype — the up-cast fuses into the first use.
+            inverse_hessian = carry["inverse_hessian"].astype(dtype)
+            rescale = scale_initial_inverse_hessian(
+                carry["step"], delta_gradient
+            )
+            inverse_hessian = jnp.where(
+                is_second, rescale[..., None] * inverse_hessian, inverse_hessian
+            )
+            updated_hessian = update_inverse_hessian(
+                inverse_hessian, carry["step"], delta_gradient
+            )
+            updated_hessian = jnp.where(
+                is_first, inverse_hessian, updated_hessian
+            )
+            inverse_hessian = jnp.where(
+                updating[..., None, None], updated_hessian, inverse_hessian
+            )
+            newton_direction = -jnp.einsum(
+                "...ij,...j->...i", inverse_hessian, gradient
+            )
+            search_direction = jnp.where(is_first, -gradient, newton_direction)
         search_direction = clamp_search_direction(
             search_direction, config.max_step_distance, config.min_step_distance
         )
