@@ -20,7 +20,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
-from davo_tpu.camera import calibration_error, num_calibration_parameters
+from davo_tpu.camera import (
+    calibration_error,
+    calibration_error_fast,
+    num_calibration_parameters,
+)
 from davo_tpu.data import SceneConfig, generate_batch
 from davo_tpu.solve import BFGSConfig, bfgs_solve
 
@@ -47,6 +51,7 @@ def make_problem(device):
 
 def bench_backend(device) -> float:
     batch, guess = make_problem(device)
+    on_tpu = device.platform == "tpu"
     solver = BFGSConfig(
         error_threshold=-1.0,  # never converge: fixed iteration count
         iterations=ITERATIONS,
@@ -56,29 +61,43 @@ def bench_backend(device) -> float:
         # Explicit per-device flag: auto-detection keys off the global
         # device list, which would mis-fire for the CPU baseline compiled
         # under jax.default_device on a TPU-backed process.
-        fused_hessian_kernel=device.platform == "tpu",
+        fused_hessian_kernel=on_tpu,
     )
     vis = batch.visibility_mask.astype(guess.dtype)
+    # Each backend gets its best objective implementation (identical
+    # semantics, tested equivalent): the channel-major layout that feeds
+    # the TPU's 128-wide lanes is slower on CPU, and vice versa.
+    objective = calibration_error_fast if on_tpu else calibration_error
 
     def err_fn(params):
-        return calibration_error(params, batch.projected_points, vis)
+        return objective(params, batch.projected_points, vis)
 
-    @jax.jit
-    def solve(g):
-        # Reduce to a scalar so the timed fetch below forces the whole
-        # solve to complete: through the axon relay block_until_ready can
-        # return at enqueue, but a host transfer cannot.
-        return jnp.sum(bfgs_solve(err_fn, g, solver))
+    def chained(reps):
+        # Chain dependent solves inside ONE jit and fetch a scalar: the
+        # axon relay adds a fixed ~20 ms dispatch+fetch round-trip per
+        # invocation (and block_until_ready can return at enqueue), so
+        # per-solve time is the slope between two chain lengths, not the
+        # time of a single call.  Re-solving from the previous result is
+        # identical work (fixed iteration count) but defeats CSE.
+        @jax.jit
+        def run(g):
+            def body(p, _):
+                return bfgs_solve(err_fn, p, solver), None
+            out, _ = jax.lax.scan(body, g, None, length=reps)
+            return jnp.sum(out)
 
-    with jax.default_device(device):
-        float(solve(guess))  # compile + warm
-        runs = []
-        for _ in range(3):
-            start = time.perf_counter()
-            float(solve(guess))
-            runs.append(time.perf_counter() - start)
-    best = min(runs)
-    return BATCH * ITERATIONS / best
+        with jax.default_device(device):
+            float(run(guess))  # compile + warm
+            runs = []
+            for _ in range(3):
+                start = time.perf_counter()
+                float(run(guess))
+                runs.append(time.perf_counter() - start)
+        return min(runs)
+
+    long_reps = 6 if on_tpu else 2
+    per_solve = (chained(long_reps) - chained(1)) / (long_reps - 1)
+    return BATCH * ITERATIONS / per_solve
 
 
 def main():

@@ -1,3 +1,4 @@
+from .calibration_fast import calibration_error_fast
 from .calibration import (
     CalibrationParameters,
     num_calibration_parameters,
@@ -41,6 +42,7 @@ __all__ = [
     "pack_calibration_parameters",
     "get_camera_relative_points",
     "calibration_error",
+    "calibration_error_fast",
     "BasinScoreConfig",
     "basin_score",
     "DISTORTED_PARAM_NAMES",

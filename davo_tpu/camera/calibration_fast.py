@@ -1,0 +1,136 @@
+"""Channel-major (batch-minor) calibration objective — the TPU hot path.
+
+Semantically identical to :func:`davo_tpu.camera.calibration.calibration_error`
+(tests compare values and gradients), but laid out for the TPU memory
+system: the reference-style formulation carries ``(B, M, N, 3)``-shaped
+intermediates whose tiny minor dims tile to ``(8, 128)`` — a ``(..., N, 3)``
+f32 array physically pads 3 lanes to 128.  Inside the BFGS hot loop
+(20 gradient evals + line-search probes per solve) that layout made each
+value-and-grad evaluation ~6x slower than its bandwidth roofline.
+
+Here every intermediate is a structure-of-arrays component of shape
+``(N, B)`` / ``(M, N, B)`` / ``(B,)`` — the batch dimension fills the
+128-wide lane axis, the point dimension the sublane axis, and the tiny
+M/3 axes are unrolled in Python (static and small: the scene is M views x
+N points with M ~ 4).  Plain jnp + autodiff: no Pallas needed, the vjp
+inherits the same layout.
+
+Reference semantics: ``networks/calibration_network.py:58-67`` and
+``camera_model/calibration_pinhole_camera_model.py:78-117``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from davo_tpu.utils.stable_trig import cos_from_sq, one_minus_cos_sq, sinc_sq
+
+__all__ = ["calibration_error_fast"]
+
+# matches geometry/distances.py's unit-vector floor (f64 machine eps)
+_NORM_FLOOR = 2.220446049250313e-16
+
+
+def _guarded_sqrt(squared: jax.Array) -> jax.Array:
+    """sqrt(sum-of-squares) with a zero derivative at zero — the SoA
+    equivalent of ``utils.guards.safe_norm`` (double-where pattern)."""
+    positive = squared > 0.0
+    return jnp.where(
+        positive, jnp.sqrt(jnp.where(positive, squared, 1.0)), 0.0
+    )
+
+
+def calibration_error_fast(
+    parameters: jax.Array,
+    true_projected_points: jax.Array,
+    visibility_mask: jax.Array,
+) -> jax.Array:
+    """Drop-in equivalent of :func:`davo_tpu.camera.calibration_error`
+    for 2-D batches, ~3x faster per value-and-grad on TPU.
+
+    :param parameters: ``(B, P)`` flat calibration vectors,
+        ``P = 3 + 3N + 6(M-1)``.
+    :param true_projected_points: ``(B, M, N, 2)`` observed pixels.
+    :param visibility_mask: ``(B, M, N)`` boolean/float visibility.
+    :return: ``(B,)`` summed masked angular error.
+    """
+    if parameters.ndim != 2:
+        raise ValueError("calibration_error_fast expects a (B, P) batch")
+    num_views = true_projected_points.shape[-3]
+    num_points = true_projected_points.shape[-2]
+    dtype = parameters.dtype
+
+    pt = parameters.T  # (P, B)
+    # (M, N, B) pixel components; constants under jit, so the transpose of
+    # the observations folds away at compile time.
+    u_t = jnp.transpose(true_projected_points[..., 0], (1, 2, 0)).astype(dtype)
+    v_t = jnp.transpose(true_projected_points[..., 1], (1, 2, 0)).astype(dtype)
+    vis_t = jnp.transpose(visibility_mask, (1, 2, 0)).astype(dtype)
+
+    f, cx, cy = pt[0], pt[1], pt[2]
+    points_end = 3 + 3 * num_points
+    # world points: rows ordered [x0 y0 z0 x1 ...] -> (N, 3, B)
+    w = pt[3:points_end].reshape(num_points, 3, B := pt.shape[-1])
+    wx, wy, wz = w[:, 0, :], w[:, 1, :], w[:, 2, :]  # (N, B)
+    trans_end = points_end + 3 * (num_views - 1)
+    t = pt[points_end:trans_end].reshape(num_views - 1, 3, B)
+    r = pt[trans_end:].reshape(num_views - 1, 3, B)
+
+    # --- gauge rescale (calibration_pinhole_camera_model.py:97-104) ------
+    points_scale = jnp.mean(
+        jnp.abs(wx) + jnp.abs(wy) + jnp.abs(wz), axis=0
+    ) / 3.0  # (B,)
+    camera_scale = jnp.mean(jnp.abs(t), axis=(0, 1))  # (B,)
+    overall = (points_scale * num_points + camera_scale * num_views) / (
+        num_points + num_views
+    )
+    inv_scale = 1.0 / jnp.maximum(overall, 1e-6)  # (B,)
+    wx, wy, wz = wx * inv_scale, wy * inv_scale, wz * inv_scale
+
+    # --- rays: (u - c, f') with f' = elu(f) + 1 ---------------------------
+    focal = jax.nn.elu(f) + 1.0  # (B,)
+    ray_x = u_t - cx  # (M, N, B)
+    ray_y = v_t - cy
+    inv_ray_norm = 1.0 / jnp.maximum(
+        jnp.sqrt(ray_x * ray_x + ray_y * ray_y + focal * focal),
+        jnp.asarray(_NORM_FLOOR, dtype=dtype),
+    )
+
+    total = jnp.zeros((B,), dtype=dtype)
+    for m in range(num_views):
+        if m == 0:
+            qx, qy, qz = wx, wy, wz  # identity view
+        else:
+            ox, oy, oz = r[m - 1, 0], r[m - 1, 1], r[m - 1, 2]  # (B,)
+            tx = t[m - 1, 0] * inv_scale
+            ty = t[m - 1, 1] * inv_scale
+            tz = t[m - 1, 2] * inv_scale
+            # Rodrigues in squared-angle form (geometry/so3.py:57-71)
+            s_ang = ox * ox + oy * oy + oz * oz
+            cos_theta = cos_from_sq(s_ang)
+            f1 = sinc_sq(s_ang)
+            f4 = one_minus_cos_sq(s_ang)
+            dot = wx * ox + wy * oy + wz * oz  # (N, B)
+            qx = wx * cos_theta + f4 * dot * ox + (oy * wz - oz * wy) * f1 + tx
+            qy = wy * cos_theta + f4 * dot * oy + (oz * wx - ox * wz) * f1 + ty
+            qz = wz * cos_theta + f4 * dot * oz + (ox * wy - oy * wx) * f1 + tz
+
+        # Kahan angle distance (geometry/distances.py:27-49)
+        inv_qn = 1.0 / jnp.maximum(
+            jnp.sqrt(qx * qx + qy * qy + qz * qz),
+            jnp.asarray(_NORM_FLOOR, dtype=dtype),
+        )  # (N, B)
+        ax = ray_x[m] * inv_ray_norm[m]
+        ay = ray_y[m] * inv_ray_norm[m]
+        az = focal * inv_ray_norm[m]
+        bx, by, bz = qx * inv_qn, qy * inv_qn, qz * inv_qn
+        diff = _guarded_sqrt(
+            (ax - bx) ** 2 + (ay - by) ** 2 + (az - bz) ** 2
+        )
+        summ = _guarded_sqrt(
+            (ax + bx) ** 2 + (ay + by) ** 2 + (az + bz) ** 2
+        )
+        theta = 2.0 * jnp.arctan2(diff, summ)  # (N, B)
+        total = total + jnp.sum(theta * vis_t[m], axis=0)
+    return total
