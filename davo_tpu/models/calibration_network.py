@@ -225,9 +225,21 @@ class CalibrationNetwork(nn.Module):
                     visibility[:, None],
                 )
 
+            # Solve on the flattened (B*E, P) batch: independent elements,
+            # identical numerics, and a 2-D batch lets the fused Pallas
+            # Hessian kernel auto-enable on TPU (solve/bfgs.py).
+            flat_pixels = jnp.repeat(true_projected_points, restarts, axis=0)
+            flat_vis = jnp.repeat(visibility, restarts, axis=0)
+
+            def flat_error(parameters):
+                return calibration_error(parameters, flat_pixels, flat_vis)
+
             solved = bfgs_solve(
-                multi_error, starts, self.solver, training=False
-            )
+                flat_error,
+                starts.reshape(batch * restarts, num_parameters),
+                self.solver,
+                training=False,
+            ).reshape(batch, restarts, num_parameters)
             if self.selection == "basin":
                 anchor = None
                 if self.basin.anchor_weight > 0.0:

@@ -1,13 +1,18 @@
-"""Micro-profile the headline BFGS solve on the TPU.
+"""Micro-profile the headline BFGS solve on the TPU — slope-timed.
 
-Measures, with relay-safe scalar-fetch timing:
-  * full solve at the bench workload (B=16384, 20 iters, 8 LS iters)
-  * batch scaling (B in {16k, 32k, 64k})
-  * component costs via restricted configs:
-      - line_search_iterations=1 (minimum probes)
-      - gradient-only loop (error+grad evals alone, no H / line search)
+Every jit invocation through the axon relay pays a fixed ~23 ms
+dispatch+fetch round-trip, so each case is measured as the slope between
+two dependent-chain lengths inside one jit (see CLAUDE.md).
 
-Run: timeout 900 python -u scripts/profile_solve.py
+Cases:
+  * full solve (bench workload: B=16384, 20 iters, 8 LS iters, fused H)
+  * line_search_iterations=1 (isolates extra line-search probes)
+  * jnp (unfused) Hessian path for comparison
+  * value-and-grad-only loop (20 evals)
+  * forward-only loop (20 evals)
+  * fused Hessian kernel loop (20 updates, nothing else)
+
+Run: timeout 1200 python -u scripts/profile_solve.py
 """
 
 import json
@@ -20,127 +25,152 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-from davo_tpu.camera import calibration_error, num_calibration_parameters
+from davo_tpu.camera import calibration_error_fast, num_calibration_parameters
 from davo_tpu.data import SceneConfig, generate_batch
+from davo_tpu.ops import fused_bfgs_update_direction
 from davo_tpu.solve import BFGSConfig, bfgs_solve
 
-NUM_VIEWS = 4
-NUM_POINTS = 8
-ITERATIONS = 20
+B, M, N, IT = 16384, 4, 8, 20
 
 
-def make_problem(batch_size):
-    cfg = SceneConfig(num_views=NUM_VIEWS, num_points=NUM_POINTS)
-    batch = generate_batch(jax.random.key(0), batch_size, cfg)
-    p = num_calibration_parameters(NUM_VIEWS, NUM_POINTS)
-    guess = 0.1 * jax.random.normal(jax.random.key(1), (batch_size, p))
+def make_problem():
+    batch = generate_batch(
+        jax.random.key(0), B, SceneConfig(num_views=M, num_points=N)
+    )
+    p = num_calibration_parameters(M, N)
+    guess = 0.1 * jax.random.normal(jax.random.key(1), (B, p))
     guess = guess.at[:, 0].add(1.0)
-    guess = guess.at[:, 3 + 2 : 3 + 3 * NUM_POINTS : 3].add(1.0)
+    guess = guess.at[:, 3 + 2 : 3 + 3 * N : 3].add(1.0)
     vis = batch.visibility_mask.astype(guess.dtype)
 
     def err_fn(params):
-        return calibration_error(params, batch.projected_points, vis)
+        return calibration_error_fast(params, batch.projected_points, vis)
 
     return err_fn, guess
 
 
-def timed(fn, *args):
-    float(fn(*args))  # compile + warm
-    runs = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(fn(*args))
-        runs.append(time.perf_counter() - t0)
-    return min(runs)
-
-
-def report(name, seconds, batch_size):
-    print(
-        json.dumps(
-            {
-                "case": name,
-                "ms": round(1e3 * seconds, 2),
-                "iters_per_s": round(batch_size * ITERATIONS / seconds),
-            }
-        ),
-        flush=True,
-    )
+def slope_ms(make_chain, reps_pair=(1, 5)):
+    """Compile chains of both lengths, return per-rep ms from the slope."""
+    times = {}
+    for reps in reps_pair:
+        fn = jax.jit(make_chain(reps))
+        float(fn())  # compile + warm
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn())
+            best = min(best, time.perf_counter() - t0)
+        times[reps] = best
+    r0, r1 = reps_pair
+    return 1e3 * (times[r1] - times[r0]) / (r1 - r0)
 
 
 def main():
-    for b in (16384, 32768, 65536):
-        err_fn, guess = make_problem(b)
-        cfg = BFGSConfig(
-            error_threshold=-1.0,
-            iterations=ITERATIONS,
-            minimum_step=0.0,
-            drop_path_p=0.0,
-            line_search_iterations=8,
-        )
+    err_fn, guess = make_problem()
 
-        @jax.jit
-        def solve(g):
-            return jnp.sum(bfgs_solve(err_fn, g, cfg))
+    def solve_chain(cfg):
+        def make(reps):
+            def run():
+                def body(p, _):
+                    return bfgs_solve(err_fn, p, cfg), None
 
-        report(f"full_solve_b{b}", timed(solve, guess), b)
+                out, _ = jax.lax.scan(body, guess, None, length=reps)
+                return jnp.sum(out)
 
-    b = 16384
-    err_fn, guess = make_problem(b)
+            return run
 
-    # line search cut to 1 iteration: isolates probe cost
-    cfg1 = BFGSConfig(
+        return make
+
+    base = dict(
         error_threshold=-1.0,
-        iterations=ITERATIONS,
+        iterations=IT,
         minimum_step=0.0,
         drop_path_p=0.0,
-        line_search_iterations=1,
+        line_search_iterations=8,
     )
+    cases = {
+        "full_solve_fused": BFGSConfig(fused_hessian_kernel=True, **base),
+        "full_solve_jnp_h": BFGSConfig(fused_hessian_kernel=False, **base),
+        "ls1_solve_fused": BFGSConfig(
+            fused_hessian_kernel=True,
+            **{**base, "line_search_iterations": 1},
+        ),
+    }
+    for name, cfg in cases.items():
+        ms = slope_ms(solve_chain(cfg))
+        print(
+            json.dumps(
+                {"case": name, "ms": round(ms, 2), "iters_per_s": round(B * IT / ms * 1e3)}
+            ),
+            flush=True,
+        )
 
-    @jax.jit
-    def solve_ls1(g):
-        return jnp.sum(bfgs_solve(err_fn, g, cfg1))
+    def vg_chain(reps):
+        def run():
+            def body(p, _):
+                e, g = jax.value_and_grad(lambda q: err_fn(q).sum())(p)
+                return p - 1e-3 * g, None
 
-    report("ls1_solve_b16384", timed(solve_ls1, guess), b)
+            def rep(p, _):
+                out, _ = jax.lax.scan(body, p, None, length=IT)
+                return out, None
 
-    # raw gradient-descent-shaped loop: 20 value_and_grad evals + axpy,
-    # no Hessian, no line search — the floor for any quasi-Newton loop.
-    @jax.jit
-    def grad_loop(g):
-        def body(params, _):
-            e, grad = jax.value_and_grad(lambda p: err_fn(p).sum())(params)
-            return params - 1e-3 * grad, e
+            out, _ = jax.lax.scan(rep, guess, None, length=reps)
+            return jnp.sum(out)
 
-        out, _ = jax.lax.scan(body, g, None, length=ITERATIONS)
-        return jnp.sum(out)
+        return run
 
-    report("grad_only_loop_b16384", timed(grad_loop, guess), b)
+    print(json.dumps({"case": "vg_loop_20", "ms": round(slope_ms(vg_chain), 2)}))
 
-    # Hessian-update-shaped traffic: 20 iterations of the rank-2 update
-    # algebra on a (B, P, P) carry, nothing else.
+    def fwd_chain(reps):
+        def run():
+            def body(p, _):
+                return p - 1e-6 * err_fn(p)[:, None], None
+
+            def rep(p, _):
+                out, _ = jax.lax.scan(body, p, None, length=IT)
+                return out, None
+
+            out, _ = jax.lax.scan(rep, guess, None, length=reps)
+            return jnp.sum(out)
+
+        return run
+
+    print(json.dumps({"case": "fwd_loop_20", "ms": round(slope_ms(fwd_chain), 2)}))
+
     p = guess.shape[-1]
-    h0 = jnp.broadcast_to(jnp.eye(p), (b, p, p))
-    s = jnp.ones((b, p)) * 1e-2
-    y = jnp.ones((b, p)) * 1e-2
+    h0 = jnp.broadcast_to(jnp.eye(p)[:, :, None], (p, p, B))
+    s = jnp.full((B, p), 1e-2)
 
-    @jax.jit
-    def h_loop(h):
-        def body(hc, _):
-            rho = 1.0 / jnp.einsum("bp,bp->b", y, s)
-            hy = jnp.einsum("bpq,bq->bp", hc, y)
-            yhy = jnp.einsum("bp,bp->b", y, hy)
-            term = (rho**2 * yhy + rho)[:, None, None] * jnp.einsum(
-                "bp,bq->bpq", s, s
-            )
-            cross = rho[:, None, None] * (
-                jnp.einsum("bp,bq->bpq", hy, s)
-                + jnp.einsum("bp,bq->bpq", s, hy)
-            )
-            return hc + term - cross, None
+    def h_chain(reps):
+        def run():
+            def body(carry, _):
+                h, v = carry
+                h2, d = fused_bfgs_update_direction(
+                    h,
+                    v,
+                    v,
+                    v,
+                    jnp.ones((B,), bool),
+                    jnp.asarray(False),
+                    jnp.asarray(False),
+                )
+                return (h2, v + 1e-9 * d), None
 
-        out, _ = jax.lax.scan(body, h, None, length=ITERATIONS)
-        return jnp.sum(out)
+            def rep(carry, _):
+                out, _ = jax.lax.scan(body, carry, None, length=IT)
+                return out, None
 
-    report("h_update_loop_b16384", timed(h_loop, h0), b)
+            (h2, v), _ = jax.lax.scan(rep, (h0, s), None, length=reps)
+            return jnp.sum(v)
+
+        return run
+
+    print(
+        json.dumps(
+            {"case": "fused_h_loop_20", "ms": round(slope_ms(h_chain), 2)}
+        )
+    )
 
 
 if __name__ == "__main__":
