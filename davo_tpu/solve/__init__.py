@@ -6,6 +6,7 @@ from .bfgs import (
     scale_initial_inverse_hessian,
     clamp_search_direction,
 )
+from .lbfgs import LBFGSConfig, lbfgs_solve
 from .sgd import SGDConfig, sgd_solve
 from .protocol_solver import BFGSCameraSolverConfig, bfgs_solve_function
 from .least_squares import (
@@ -25,6 +26,8 @@ __all__ = [
     "LMConfig",
     "levenberg_marquardt",
     "line_search_wolfe_conditions",
+    "LBFGSConfig",
+    "lbfgs_solve",
     "BFGSConfig",
     "bfgs_solve",
     "update_inverse_hessian",
