@@ -20,6 +20,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
+# The image's sitecustomize pins JAX_PLATFORMS=axon, so the env var alone
+# cannot select the virtual-CPU mesh; flip the config before any device
+# query (after that, clients are cached and cannot be switched):
+#   SCALING_CPU=1 XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+#       python bench_scaling.py
+if os.environ.get("SCALING_CPU") == "1":
+    jax.config.update("jax_platforms", "cpu")
+
 from davo_tpu.solve import BFGSConfig
 from davo_tpu.train import CalibrationExperiment, create_train_state
 from davo_tpu.parallel import make_mesh, make_dp_train_step, replicate
