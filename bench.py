@@ -95,8 +95,11 @@ def bench_backend(device) -> float:
                 runs.append(time.perf_counter() - start)
         return min(runs)
 
-    long_reps = 6 if on_tpu else 2
-    per_solve = (chained(long_reps) - chained(1)) / (long_reps - 1)
+    long_reps = 6 if on_tpu else 3
+    t_long, t_one = chained(long_reps), chained(1)
+    per_solve = (t_long - t_one) / (long_reps - 1)
+    if per_solve <= 0:  # timing jitter exceeded the chain difference
+        per_solve = t_long / long_reps
     return BATCH * ITERATIONS / per_solve
 
 

@@ -24,21 +24,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from davo_tpu.geometry.distances import _NORM_FLOOR
+from davo_tpu.utils import guarded_sqrt
 from davo_tpu.utils.stable_trig import cos_from_sq, one_minus_cos_sq, sinc_sq
 
 __all__ = ["calibration_error_fast"]
-
-# matches geometry/distances.py's unit-vector floor (f64 machine eps)
-_NORM_FLOOR = 2.220446049250313e-16
-
-
-def _guarded_sqrt(squared: jax.Array) -> jax.Array:
-    """sqrt(sum-of-squares) with a zero derivative at zero — the SoA
-    equivalent of ``utils.guards.safe_norm`` (double-where pattern)."""
-    positive = squared > 0.0
-    return jnp.where(
-        positive, jnp.sqrt(jnp.where(positive, squared, 1.0)), 0.0
-    )
 
 
 def calibration_error_fast(
@@ -125,10 +115,10 @@ def calibration_error_fast(
         ay = ray_y[m] * inv_ray_norm[m]
         az = focal * inv_ray_norm[m]
         bx, by, bz = qx * inv_qn, qy * inv_qn, qz * inv_qn
-        diff = _guarded_sqrt(
+        diff = guarded_sqrt(
             (ax - bx) ** 2 + (ay - by) ** 2 + (az - bz) ** 2
         )
-        summ = _guarded_sqrt(
+        summ = guarded_sqrt(
             (ax + bx) ** 2 + (ay + by) ** 2 + (az + bz) ** 2
         )
         theta = 2.0 * jnp.arctan2(diff, summ)  # (N, B)

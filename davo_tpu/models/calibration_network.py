@@ -227,12 +227,13 @@ class CalibrationNetwork(nn.Module):
 
             # Solve on the flattened (B*E, P) batch: independent elements,
             # identical numerics, and a 2-D batch lets the fused Pallas
-            # Hessian kernel auto-enable on TPU (solve/bfgs.py).
-            flat_pixels = jnp.repeat(true_projected_points, restarts, axis=0)
-            flat_vis = jnp.repeat(visibility, restarts, axis=0)
-
+            # Hessian kernel auto-enable on TPU (solve/bfgs.py).  The error
+            # callback reshapes back to (B, E, P) so the observations
+            # broadcast instead of being replicated E-fold.
             def flat_error(parameters):
-                return calibration_error(parameters, flat_pixels, flat_vis)
+                return multi_error(
+                    parameters.reshape(batch, restarts, num_parameters)
+                ).reshape(batch * restarts)
 
             solved = bfgs_solve(
                 flat_error,

@@ -103,11 +103,15 @@ def fused_bfgs_update_direction(
     :param is_first: scalar bool — first solver step (keep H, steepest descent).
     :param is_second: scalar bool — second step (apply the eq. 6.20 rescale).
     :param block_b: batch elements per grid step (lane-dim blocks).
-    :param interpret: Pallas interpreter mode; defaults to off-TPU detection.
+    :param interpret: Pallas interpreter mode.  ``None`` (default) defers
+        the choice to **lowering time** via ``jax.lax.platform_dependent``:
+        TPU lowers the compiled kernel, every other backend lowers a jnp
+        fallback with identical semantics — so a solve traced on a
+        TPU-backed process but placed on CPU (e.g. under
+        ``jax.default_device``) stays correct instead of failing to
+        compile Mosaic for CPU.
     :return: ``(h_out_t (P, P, B), search_direction (B, P))``.
     """
-    if interpret is None:
-        interpret = jax.devices()[0].platform != "tpu"
     p = step.shape[-1]
     b = step.shape[0]
     if h_t.shape != (p, p, b):
@@ -115,6 +119,26 @@ def fused_bfgs_update_direction(
     block_b = min(block_b, b)
     if b % block_b != 0:
         raise ValueError(f"batch {b} not divisible by block_b {block_b}")
+
+    if interpret is None:
+        def tpu_path(h, s, y, g, u, first, second):
+            return fused_bfgs_update_direction(
+                h, s, y, g, u, first, second,
+                block_b=block_b, interpret=False,
+            )
+
+        def jnp_path(h, s, y, g, u, first, second):
+            h_bm = jnp.transpose(h, (2, 0, 1))
+            h_out, d = reference_update_direction(
+                h_bm, s, y, g, u, first, second
+            )
+            return jnp.transpose(h_out, (1, 2, 0)), d
+
+        return jax.lax.platform_dependent(
+            h_t, step, delta_gradient, gradient, updating, is_first, is_second,
+            tpu=tpu_path,
+            default=jnp_path,
+        )
 
     dtype = h_t.dtype
     s_t = step.T.astype(dtype)

@@ -79,10 +79,12 @@ class BFGSConfig:
     # (ops/bfgs_update.py): channel-major (P, P, B) carry, one HBM
     # read-modify-write per iteration.  Applies to the non-differentiable
     # (eval) path on 2-D f32 batches with B % 128 == 0 and no hessian_dtype
-    # override; None auto-enables it on TPU when those hold.  NOTE: auto
-    # detection keys off jax.devices()[0] — pass an explicit False when
-    # compiling for host CPU under jax.default_device on a TPU-backed
-    # process (as bench.py's CPU baseline does).
+    # override; None auto-enables it on TPU when those hold.  The actual
+    # kernel choice is deferred to lowering time (lax.platform_dependent),
+    # so a solve placed on CPU under jax.default_device in a TPU-backed
+    # process falls back to an equivalent jnp path instead of failing to
+    # compile — pass an explicit False only to keep the batch-major carry
+    # layout (best CPU performance, as bench.py's baseline does).
     fused_hessian_kernel: Optional[bool] = None
 
     def resolve(self, training: bool) -> tuple[int, float]:

@@ -8,6 +8,7 @@ from .stable_trig import (
 from .guards import (
     safe_reciprocal,
     safe_norm,
+    guarded_sqrt,
     inverse_curvature,
     interpolate_alpha,
     project_vector_onto_axis,
@@ -29,6 +30,7 @@ __all__ = [
     "sin_x_on_x_cubed_minus_two_one_minus_cos_x_on_x_fourth",
     "safe_reciprocal",
     "safe_norm",
+    "guarded_sqrt",
     "inverse_curvature",
     "interpolate_alpha",
     "project_vector_onto_axis",

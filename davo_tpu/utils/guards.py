@@ -69,6 +69,17 @@ def safe_norm(x, axis: int = -1, keepdims: bool = False):
     return out
 
 
+def guarded_sqrt(squared):
+    """``sqrt`` of a sum-of-squares with a zero derivative at zero — the
+    structure-of-arrays companion of :func:`safe_norm` (double-where
+    pattern) for callers that carry vector components as separate arrays.
+    """
+    positive = squared > 0.0
+    return jnp.where(
+        positive, jnp.sqrt(jnp.where(positive, squared, 1.0)), 0.0
+    )
+
+
 @jax.custom_jvp
 def inverse_curvature(step, delta_gradient):
     """``1 / (y^T s)`` along the last axis, zeroed where the curvature is

@@ -7,7 +7,6 @@ per iteration ~ 283 MB -> ~0.35 ms/iter at 819 GB/s.
 Run: timeout 1800 python -u scripts/tune_bfgs_kernel.py
 """
 
-import functools
 import json
 import os
 import sys
@@ -129,9 +128,10 @@ def slope_ms(op):
 
 def main():
     cases = [
+        ("broadcast", broadcast_kernel, 128),
+        ("broadcast", broadcast_kernel, 256),
         ("rowloop", rowloop_kernel, 128),
         ("rowloop", rowloop_kernel, 256),
-        ("rowloop", rowloop_kernel, 512),
     ]
     for name, kernel, bb in cases:
         try:

@@ -79,6 +79,24 @@ def test_negative_curvature_skips_update():
     )
 
 
+def test_platform_dependent_fallback_on_cpu():
+    """interpret=None defers to lowering: on CPU the jnp fallback path
+    must produce the same result as the explicit interpreter kernel."""
+    h, s, y, g, upd = _random_case(4)
+    h_t = jnp.transpose(h, (1, 2, 0))
+    args = (s, y, g, upd, jnp.asarray(False), jnp.asarray(True))
+    h_auto, d_auto = jax.jit(
+        lambda ht: fused_bfgs_update_direction(ht, *args)
+    )(h_t)
+    h_interp, d_interp = fused_bfgs_update_direction(h_t, *args, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(h_auto), np.asarray(h_interp), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_auto), np.asarray(d_interp), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_bad_shapes_raise():
     h, s, y, g, upd = _random_case(2, b=100)
     h_t = jnp.transpose(h, (1, 2, 0))
