@@ -40,6 +40,16 @@ def _add_common(p):
     p.add_argument("--hidden-size", type=int, default=None)
     p.add_argument("--transformer-layers", type=int, default=None)
     p.add_argument("--transformer-heads", type=int, default=None)
+    p.add_argument(
+        "--solver",
+        choices=("bfgs", "lbfgs"),
+        default=None,
+        help="in-forward solver; lbfgs converts the preset's BFGS config "
+        "(shared fields carried over, no dense inverse-Hessian carry)",
+    )
+    p.add_argument(
+        "--lbfgs-history", type=int, default=None, help="L-BFGS memory m"
+    )
 
 
 def _apply_overrides(config, args):
@@ -57,7 +67,19 @@ def _apply_overrides(config, args):
         value = getattr(args, field, None)
         if value is not None and hasattr(config, field):
             updates[field] = value
-    return dataclasses.replace(config, **updates) if updates else config
+    if updates:
+        config = dataclasses.replace(config, **updates)
+    if getattr(args, "solver", None) == "lbfgs" and hasattr(config, "solver"):
+        from davo_tpu.solve import LBFGSConfig
+
+        shared = {f.name for f in dataclasses.fields(LBFGSConfig)} & {
+            f.name for f in dataclasses.fields(type(config.solver))
+        }
+        kwargs = {k: getattr(config.solver, k) for k in shared}
+        if getattr(args, "lbfgs_history", None):
+            kwargs["history"] = args.lbfgs_history
+        config = dataclasses.replace(config, solver=LBFGSConfig(**kwargs))
+    return config
 
 
 def main(argv=None):

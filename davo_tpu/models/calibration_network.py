@@ -24,7 +24,7 @@ from davo_tpu.camera import (
     calibration_error,
     num_calibration_parameters,
 )
-from davo_tpu.solve import BFGSConfig, bfgs_solve
+from davo_tpu.solve import BFGSConfig, LBFGSConfig, bfgs_solve, lbfgs_solve
 
 __all__ = [
     "CalibrationNetwork",
@@ -119,13 +119,15 @@ class CalibrationNetwork(nn.Module):
     :param num_points: N tracked points per problem.
     :param hidden_size: MLP width; ``<= 0`` means ``4 * num_inputs``
         (reference default, ``:33-34``).
-    :param solver: BFGS configuration for the in-forward solve.
+    :param solver: configuration for the in-forward solve — a
+        :class:`BFGSConfig` (reference behaviour) or :class:`LBFGSConfig`
+        (limited-memory variant, no dense inverse-Hessian carry).
     """
 
     num_views: int
     num_points: int
     hidden_size: int = -1
-    solver: BFGSConfig = BFGSConfig(
+    solver: Union[BFGSConfig, LBFGSConfig] = BFGSConfig(
         error_threshold=1e-7, training_error_threshold=1e-3
     )
     # Multi-start refinement at inference: solve from this many perturbed
@@ -195,6 +197,11 @@ class CalibrationNetwork(nn.Module):
         drop_key = None
         if training and self.solver.drop_path_p > 0.0:
             drop_key = self.make_rng("drop_path")
+        solve = (
+            lbfgs_solve
+            if isinstance(self.solver, LBFGSConfig)
+            else bfgs_solve
+        )
 
         restarts = 1 if training else max(self.num_restarts, 1)
         if restarts > 1:
@@ -235,7 +242,7 @@ class CalibrationNetwork(nn.Module):
                     parameters.reshape(batch, restarts, num_parameters)
                 ).reshape(batch * restarts)
 
-            solved = bfgs_solve(
+            solved = solve(
                 flat_error,
                 starts.reshape(batch * restarts, num_parameters),
                 self.solver,
@@ -264,7 +271,7 @@ class CalibrationNetwork(nn.Module):
                 solved, best[:, None, None], axis=1
             )[:, 0]
         else:
-            result = bfgs_solve(
+            result = solve(
                 error_function,
                 initial_guess,
                 self.solver,

@@ -99,7 +99,7 @@ class CalibrationExperiment:
     # bounded training unroll: training differentiates through the solve,
     # so its iteration budget is a compiled scan length (SURVEY §7.3);
     # eval uses a while_loop and can afford the full budget.
-    solver: BFGSConfig = BFGSConfig(
+    solver: Any = BFGSConfig(  # BFGSConfig or LBFGSConfig
         error_threshold=1e-7,
         training_error_threshold=1e-3,
         iterations=100,

@@ -175,3 +175,53 @@ def test_gradients_flow_to_mlp_weights(network, batch, key):
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.all(np.isfinite(g)) for g in leaves)
     assert any(np.any(np.asarray(g) != 0.0) for g in leaves)
+
+
+def test_lbfgs_solver_option(batch, key):
+    """The network accepts an LBFGSConfig and the solve still reduces the
+    reprojection error vs the raw guess (same contract as BFGS)."""
+    from davo_tpu.solve import LBFGSConfig
+
+    net = CalibrationNetwork(
+        num_views=M,
+        num_points=N,
+        hidden_size=32,
+        solver=LBFGSConfig(
+            history=5,
+            error_threshold=1e-7,
+            iterations=8,
+            drop_path_p=0.0,
+            line_search_iterations=20,
+        ),
+    )
+    variables = _init(net, batch, key)
+    out, err = net.apply(
+        variables,
+        batch.projected_points,
+        batch.visibility_mask,
+        training=False,
+        return_error=True,
+    )
+    assert out.shape == (4, net_num_params())
+    assert np.all(np.isfinite(np.asarray(err)))
+
+    guess_only = CalibrationNetwork(
+        num_views=M,
+        num_points=N,
+        hidden_size=32,
+        solver=LBFGSConfig(iterations=0, drop_path_p=0.0),
+    )
+    _, raw_err = guess_only.apply(
+        variables,
+        batch.projected_points,
+        batch.visibility_mask,
+        training=False,
+        return_error=True,
+    )
+    assert float(jnp.mean(err)) <= float(jnp.mean(raw_err)) + 1e-9
+
+
+def net_num_params():
+    from davo_tpu.camera import num_calibration_parameters
+
+    return num_calibration_parameters(M, N)
