@@ -95,7 +95,10 @@ def bench_backend(device) -> float:
                 runs.append(time.perf_counter() - start)
         return min(runs)
 
-    long_reps = 6 if on_tpu else 3
+    # 4 keeps the slope well above timing jitter (3 extra solves ~ 130 ms
+    # on TPU) while holding total bench time under the driver's budget
+    # (each chain length is a separate remote compile).
+    long_reps = 4 if on_tpu else 3
     t_long, t_one = chained(long_reps), chained(1)
     per_solve = (t_long - t_one) / (long_reps - 1)
     if per_solve <= 0:  # timing jitter exceeded the chain difference

@@ -78,3 +78,21 @@ def test_cli_presets_lists_all():
 def test_cli_unknown_command_fails():
     result = _run_cli("explode")
     assert result.returncode != 0
+
+
+def test_cli_solver_lbfgs_override_converts_config():
+    import argparse
+
+    from davo_tpu.cli import _apply_overrides
+    from davo_tpu.solve import LBFGSConfig
+    from davo_tpu.train import get_preset
+
+    args = argparse.Namespace(solver="lbfgs", lbfgs_history=7)
+    cfg = _apply_overrides(
+        get_preset("calibration_transformer_curriculum"), args
+    )
+    assert isinstance(cfg.solver, LBFGSConfig)
+    assert cfg.solver.history == 7
+    # shared stopping/line-search fields carried over from the preset
+    assert cfg.solver.error_threshold == 1e-7
+    assert cfg.solver.training_error_threshold == 1e-3
