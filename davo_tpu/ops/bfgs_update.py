@@ -43,11 +43,13 @@ def _kernel(flags_ref, h_ref, s_ref, y_ref, g_ref, upd_ref, h_out_ref, d_out_ref
     """
     f_first = flags_ref[0, 0]
     f_second = flags_ref[0, 1]
-    h = h_ref[...]
     s = s_ref[...]
     y = y_ref[...]
     g = g_ref[...]
     upd = upd_ref[...]  # (1, BB) in {0.0, 1.0}
+    # The carry may be stored reduced-precision (bfloat16) to halve its
+    # HBM traffic; all update math runs in the vector dtype (f32).
+    h = h_ref[...].astype(s.dtype)
 
     # inverse curvature 1/(y.s), zeroed where non-positive (utils.guards):
     # with inv_c = 0 every update term vanishes and the update is skipped.
@@ -75,7 +77,7 @@ def _kernel(flags_ref, h_ref, s_ref, y_ref, g_ref, upd_ref, h_out_ref, d_out_ref
         - hy[:, None, :] * s_on_c[None, :, :]
     )
     h_out = h + applied[None] * delta
-    h_out_ref[...] = h_out
+    h_out_ref[...] = h_out.astype(h_out_ref.dtype)
 
     d = -jnp.sum(h_out * g[None, :, :], axis=1)  # (P, BB)
     d_out_ref[...] = f_first * (-g) + (1.0 - f_first) * d
@@ -128,11 +130,11 @@ def fused_bfgs_update_direction(
             )
 
         def jnp_path(h, s, y, g, u, first, second):
-            h_bm = jnp.transpose(h, (2, 0, 1))
+            h_bm = jnp.transpose(h, (2, 0, 1)).astype(s.dtype)
             h_out, d = reference_update_direction(
                 h_bm, s, y, g, u, first, second
             )
-            return jnp.transpose(h_out, (1, 2, 0)), d
+            return jnp.transpose(h_out, (1, 2, 0)).astype(h.dtype), d
 
         return jax.lax.platform_dependent(
             h_t, step, delta_gradient, gradient, updating, is_first, is_second,
@@ -140,8 +142,10 @@ def fused_bfgs_update_direction(
             default=jnp_path,
         )
 
-    dtype = h_t.dtype
-    s_t = step.T.astype(dtype)
+    # Vector math dtype comes from the iterates (f32); the H carry keeps
+    # its own storage dtype (f32 or bfloat16 via BFGSConfig.hessian_dtype).
+    dtype = step.dtype
+    s_t = step.T
     y_t = delta_gradient.T.astype(dtype)
     g_t = gradient.T.astype(dtype)
     upd = updating.astype(dtype)[None, :]  # (1, B)
@@ -157,7 +161,7 @@ def fused_bfgs_update_direction(
     h_out, d_t = pl.pallas_call(
         _kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((p, p, b), dtype),
+            jax.ShapeDtypeStruct((p, p, b), h_t.dtype),
             jax.ShapeDtypeStruct((p, b), dtype),
         ),
         grid=grid,

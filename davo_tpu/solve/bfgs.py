@@ -78,8 +78,10 @@ class BFGSConfig:
     # Fused Pallas kernel for the inverse-Hessian update + search direction
     # (ops/bfgs_update.py): channel-major (P, P, B) carry, one HBM
     # read-modify-write per iteration.  Applies to the non-differentiable
-    # (eval) path on 2-D f32 batches with B % 128 == 0 and no hessian_dtype
-    # override; None auto-enables it on TPU when those hold.  The actual
+    # (eval) path on 2-D f32 batches with B % 128 == 0 and hessian_dtype
+    # None or "bfloat16" (the carry is then stored bf16 inside the kernel,
+    # halving its HBM traffic; update math stays f32).  None auto-enables
+    # the kernel on TPU when those hold.  The actual
     # kernel choice is deferred to lowering time (lax.platform_dependent),
     # so a solve placed on CPU under jax.default_device in a TPU-backed
     # process falls back to an equivalent jnp path instead of failing to
@@ -235,7 +237,7 @@ def bfgs_solve(
     fusable = (
         not differentiable
         and parameters.ndim == 2
-        and config.hessian_dtype is None
+        and config.hessian_dtype in (None, "bfloat16")
         and dtype == jnp.float32
         and parameters.shape[0] % 128 == 0
     )

@@ -79,6 +79,53 @@ def test_negative_curvature_skips_update():
     )
 
 
+def test_bf16_carry_matches_f32_coarsely():
+    """bfloat16 H storage: update math stays f32, so the result matches
+    the f32 carry to bf16 resolution (~3 significant digits)."""
+    h, s, y, g, upd = _random_case(6)
+    h_t = jnp.transpose(h, (1, 2, 0))
+    args = (s, y, g, upd, jnp.asarray(False), jnp.asarray(False))
+    h32, d32 = fused_bfgs_update_direction(h_t, *args, interpret=True)
+    h16, d16 = fused_bfgs_update_direction(
+        h_t.astype(jnp.bfloat16), *args, interpret=True
+    )
+    assert h16.dtype == jnp.bfloat16
+    assert d16.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(h16, np.float32), np.asarray(h32), rtol=2e-2, atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(d16), np.asarray(d32), rtol=5e-2, atol=5e-2
+    )
+
+
+def test_bf16_carry_solver_converges():
+    rng = np.random.default_rng(9)
+    b, p = 128, 5
+    target = jnp.asarray(rng.normal(size=(b, p)).astype(np.float32))
+    start = jnp.asarray(rng.normal(size=(b, p)).astype(np.float32)) * 3.0
+
+    def err_fn(params):
+        return jnp.sum(jnp.square(params - target), axis=-1)
+
+    out = bfgs_solve(
+        err_fn,
+        start,
+        BFGSConfig(
+            fused_hessian_kernel=True,
+            hessian_dtype="bfloat16",
+            error_threshold=1e-10,
+            iterations=15,
+            minimum_step=0.0,
+            drop_path_p=0.0,
+            line_search_iterations=12,
+        ),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(target), rtol=1e-3, atol=1e-3
+    )
+
+
 def test_platform_dependent_fallback_on_cpu():
     """interpret=None defers to lowering: on CPU the jnp fallback path
     must produce the same result as the explicit interpreter kernel."""
