@@ -97,6 +97,11 @@ def main(argv=None):
         "--selection", default=None, help="restart selection: error | basin"
     )
     eval_p.add_argument(
+        "--restart-proposals",
+        default=None,
+        help="restart proposals: noise | permutation",
+    )
+    eval_p.add_argument(
         "--basin-anchor",
         type=float,
         default=None,
@@ -286,6 +291,10 @@ def main(argv=None):
         config = dataclasses.replace(config, num_restarts=args.restarts)
     if getattr(args, "selection", None):
         config = dataclasses.replace(config, selection=args.selection)
+    if getattr(args, "restart_proposals", None):
+        config = dataclasses.replace(
+            config, restart_proposals=args.restart_proposals
+        )
     if getattr(args, "basin_anchor", None) is not None:
         config = dataclasses.replace(
             config, basin_anchor_weight=args.basin_anchor

@@ -1,5 +1,6 @@
 from .calibration_network import (
     CalibrationNetwork,
+    permutation_restart_guesses,
     CalibrationMLPHead,
     CalibrationTransformerHead,
 )
@@ -28,6 +29,7 @@ from .learned_solvers import (
 
 __all__ = [
     "CalibrationNetwork",
+    "permutation_restart_guesses",
     "CalibrationMLPHead",
     "CalibrationTransformerHead",
     "kaiming_normal_init",

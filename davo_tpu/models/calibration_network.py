@@ -112,6 +112,55 @@ class CalibrationTransformerHead(nn.Module):
         return nn.Dense(self.num_outputs, name="head")(pooled)
 
 
+def permutation_restart_guesses(
+    apply_head,
+    pixels: jax.Array,
+    visibility: jax.Array,
+    raw_guess: jax.Array,
+    num_points: int,
+    key: jax.Array,
+    restarts: int,
+) -> jax.Array:
+    """Multi-start guesses from point-permuted applications of the head.
+
+    The guess heads are point-order-sensitive (positional encodings /
+    flattened inputs), so applying them to a permuted copy of the same
+    scene yields a different — but still scene-informed — estimate.  The
+    predicted world-point slices come back in permuted order; they are
+    scattered back through the inverse permutation so every start
+    describes the points in the original order.  Intrinsics and poses are
+    order-free and pass through unchanged.
+
+    :param apply_head: ``(pixels (B,M,N,2), vis (B,M,N)) -> (B, P)``.
+    :param raw_guess: ``(B, P)`` head output on the unpermuted scene
+        (becomes restart 0).
+    :return: ``(B, restarts, P)`` starts.
+    """
+    guesses = [raw_guess]
+    points_end = 3 + 3 * num_points
+    for e in range(1, restarts):
+        perm = jax.random.permutation(
+            jax.random.fold_in(key, e), num_points
+        )
+        guess = apply_head(pixels[:, :, perm, :], visibility[:, :, perm])
+        # entry j of the permuted prediction is original point perm[j]
+        inverse = jnp.argsort(perm)
+        points = guess[:, 3:points_end].reshape(-1, num_points, 3)[
+            :, inverse
+        ]
+        guesses.append(
+            jnp.concatenate(
+                [
+                    guess[:, :3],
+                    points.reshape(-1, 3 * num_points),
+                    guess[:, points_end:],
+                ],
+                axis=-1,
+            )
+        )
+    return jnp.stack(guesses, axis=1)
+
+
 class CalibrationNetwork(nn.Module):
     """MLP guess + differentiable BFGS refinement.
 
@@ -135,6 +184,15 @@ class CalibrationNetwork(nn.Module):
     # applied to the gen-2 network) and keep the lowest-scoring estimate.
     num_restarts: int = 1
     restart_noise: float = 0.1
+    # How the extra multi-start guesses are proposed:
+    # "noise"       — Gaussian perturbations of the raw guess (default);
+    # "permutation" — re-apply the guess head to point-permuted copies of
+    #                 the scene and un-permute the world-point slices.
+    #                 The heads are point-order-sensitive (positional
+    #                 encodings / flattened MLP input), so permutations
+    #                 yield diverse yet *informed* starts, unlike blind
+    #                 noise.  Restart 0 is always the raw guess.
+    restart_proposals: str = "noise"
     # Restart selection criterion: "error" = raw reprojection error (the
     # reference-style choice), "basin" = reprojection error + plausibility
     # penalties (davo_tpu.camera.basin_score) — raw error favours spurious
@@ -168,7 +226,7 @@ class CalibrationNetwork(nn.Module):
 
         batch = true_projected_points.shape[0]
         if self.head == "transformer":
-            initial_guess = CalibrationTransformerHead(
+            head_module = CalibrationTransformerHead(
                 num_outputs=num_parameters,
                 num_views=self.num_views,
                 num_points=self.num_points,
@@ -176,16 +234,26 @@ class CalibrationNetwork(nn.Module):
                 num_layers=self.transformer_layers,
                 num_heads=self.transformer_heads,
                 name="initial_estimator",
-            )(true_projected_points, visibility_mask, training=training)
+            )
+
+            def apply_head(pixels, vis):
+                return head_module(pixels, vis, training=training)
+
         elif self.head == "mlp":
-            inputs = true_projected_points.reshape(batch, num_inputs)
-            initial_guess = CalibrationMLPHead(
+            head_module = CalibrationMLPHead(
                 num_outputs=num_parameters,
                 hidden_size=hidden,
                 name="initial_estimator",
-            )(inputs, training=training)
+            )
+
+            def apply_head(pixels, vis):
+                return head_module(
+                    pixels.reshape(batch, num_inputs), training=training
+                )
+
         else:
             raise ValueError(f"Unknown head: {self.head!r}")
+        initial_guess = apply_head(true_projected_points, visibility_mask)
 
         visibility = visibility_mask.astype(initial_guess.dtype)
 
@@ -212,18 +280,33 @@ class CalibrationNetwork(nn.Module):
                 restart_key = self.make_rng("restarts")
             else:
                 restart_key = jax.random.key(0)
-            noise = self.restart_noise * jax.random.normal(
-                restart_key,
-                (batch, restarts - 1, num_parameters),
-                dtype=initial_guess.dtype,
-            )
-            starts = jnp.concatenate(
-                [
-                    initial_guess[:, None, :],
-                    initial_guess[:, None, :] + noise,
-                ],
-                axis=1,
-            )
+            if self.restart_proposals == "permutation":
+                starts = permutation_restart_guesses(
+                    apply_head,
+                    true_projected_points,
+                    visibility_mask,
+                    initial_guess,
+                    self.num_points,
+                    restart_key,
+                    restarts,
+                )
+            elif self.restart_proposals == "noise":
+                noise = self.restart_noise * jax.random.normal(
+                    restart_key,
+                    (batch, restarts - 1, num_parameters),
+                    dtype=initial_guess.dtype,
+                )
+                starts = jnp.concatenate(
+                    [
+                        initial_guess[:, None, :],
+                        initial_guess[:, None, :] + noise,
+                    ],
+                    axis=1,
+                )
+            else:
+                raise ValueError(
+                    f"Unknown restart_proposals: {self.restart_proposals!r}"
+                )
 
             def multi_error(parameters):
                 return calibration_error(

@@ -78,6 +78,9 @@ class CalibrationExperiment:
     # Multi-start eval solves (best-of-E); training always single-start.
     num_restarts: int = 1
     restart_noise: float = 0.1
+    # "noise" (Gaussian around the guess) or "permutation" (head applied
+    # to point-permuted scenes — informed diversity).
+    restart_proposals: str = "noise"
     # Restart selection: "error" (raw reprojection) or "basin"
     # (plausibility-penalised, davo_tpu.camera.basin_score).
     selection: str = "error"
@@ -150,6 +153,7 @@ class CalibrationExperiment:
             solver=self.solver,
             num_restarts=self.num_restarts,
             restart_noise=self.restart_noise,
+            restart_proposals=self.restart_proposals,
             selection=self.selection,
             basin=BasinScoreConfig(anchor_weight=self.basin_anchor_weight),
             head=self.head,
