@@ -28,7 +28,7 @@ from davo_tpu.geometry.distances import _NORM_FLOOR
 from davo_tpu.utils import guarded_sqrt
 from davo_tpu.utils.stable_trig import cos_from_sq, one_minus_cos_sq, sinc_sq
 
-__all__ = ["calibration_error_fast"]
+__all__ = ["calibration_error_fast", "calibration_error_channel_major"]
 
 
 def calibration_error_fast(
@@ -47,16 +47,37 @@ def calibration_error_fast(
     """
     if parameters.ndim != 2:
         raise ValueError("calibration_error_fast expects a (B, P) batch")
-    num_views = true_projected_points.shape[-3]
-    num_points = true_projected_points.shape[-2]
     dtype = parameters.dtype
-
-    pt = parameters.T  # (P, B)
     # (M, N, B) pixel components; constants under jit, so the transpose of
     # the observations folds away at compile time.
     u_t = jnp.transpose(true_projected_points[..., 0], (1, 2, 0)).astype(dtype)
     v_t = jnp.transpose(true_projected_points[..., 1], (1, 2, 0)).astype(dtype)
     vis_t = jnp.transpose(visibility_mask, (1, 2, 0)).astype(dtype)
+    return calibration_error_channel_major(parameters.T, u_t, v_t, vis_t)
+
+
+def calibration_error_channel_major(
+    pt: jax.Array,
+    u_t: jax.Array,
+    v_t: jax.Array,
+    vis_t: jax.Array,
+) -> jax.Array:
+    """Structure-of-arrays core of :func:`calibration_error_fast`.
+
+    All inputs are channel-major (batch fills the 128-wide lane axis);
+    this function is also the body of the fused Pallas value/gradient
+    kernels (:mod:`davo_tpu.ops.calibration_obj`), so it must stay
+    Mosaic-lowerable (elementwise + small-axis reductions only).
+
+    :param pt: ``(P, B)`` transposed parameter vectors.
+    :param u_t: ``(M, N, B)`` observed pixel x components.
+    :param v_t: ``(M, N, B)`` observed pixel y components.
+    :param vis_t: ``(M, N, B)`` visibility as floats.
+    :return: ``(B,)`` summed masked angular error.
+    """
+    num_views = u_t.shape[0]
+    num_points = u_t.shape[1]
+    dtype = pt.dtype
 
     f, cx, cy = pt[0], pt[1], pt[2]
     points_end = 3 + 3 * num_points

@@ -125,6 +125,19 @@ def main(argv=None):
     vo_p.add_argument("--transformer-heads", type=int, default=None)
     vo_p.add_argument("--no-refine", action="store_true")
     vo_p.add_argument(
+        "--stitch",
+        default="global",
+        help="window stitching: global (overlap-consistent joint "
+        "centre/scale solve) | chain (greedy single-pair scale chaining)",
+    )
+    vo_p.add_argument(
+        "--stride",
+        type=int,
+        default=0,
+        help="window stride (0 = window - 2); smaller = more overlap "
+        "constraints for the stitcher, more guess/solve calls",
+    )
+    vo_p.add_argument(
         "--refine-rounds",
         type=int,
         default=1,
@@ -210,6 +223,7 @@ def main(argv=None):
             num_frames=args.frames,
             num_points=args.points,
             window=args.window,
+            stride=args.stride,
         )
         results = []
         for trial in range(args.trials):
@@ -221,6 +235,7 @@ def main(argv=None):
                 refine_rounds=args.refine_rounds,
                 host_polish=args.host_polish,
                 multistart=args.multistart,
+                stitch=args.stitch,
             )
             results.append({k: float(v) for k, v in ate.items()})
             print(json.dumps({"trial": trial, **results[-1]}), flush=True)

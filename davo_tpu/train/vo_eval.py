@@ -45,6 +45,7 @@ __all__ = [
     "generate_trajectory",
     "solve_windowed_vo",
     "solve_windowed_vo_learned",
+    "stitch_windows_global",
     "triangulate_points",
     "refine_trajectory_global",
     "refine_trajectory_multistart",
@@ -64,6 +65,9 @@ class TrajectoryConfig:
     pixel_noise: float = 0.0
     init_noise: float = 0.02  # perturbation of the odometry initialisation
     solver: SchurConfig = SchurConfig(iterations=10, damping=1e-4)
+    # learned-VO window stride (0 = default ``window - 2``); smaller
+    # strides give more window overlap, hence more stitching constraints
+    stride: int = 0
 
 
 def _pose_from_matrix(rot: jax.Array, centre: jax.Array) -> jax.Array:
@@ -229,23 +233,181 @@ def solve_windowed_vo(
     return estimates
 
 
+def _window_starts(num_frames: int, window: int, stride: int) -> list:
+    """Anchor frames of the overlapping windows covering the sequence."""
+    starts = []
+    start = 0
+    while True:
+        start = min(start, num_frames - window)
+        starts.append(start)
+        if start + window >= num_frames:
+            return starts
+        start += stride
+
+
+def _stitch_chain(starts, window_poses, num_frames: int) -> jax.Array:
+    """Greedy stitching: rotations chain through each window's anchor;
+    each window's gauge scale is fixed from the previously-estimated
+    relative translation of the shared pair ``(start, start + 1)``.
+
+    Scale errors compound multiplicatively along the chain — see
+    :func:`stitch_windows_global` for the jointly-solved alternative.
+    """
+    estimates = jnp.zeros((num_frames, 6))
+    for wi, start in enumerate(starts):
+        poses_w = window_poses[wi]
+        w = poses_w.shape[0]
+        if wi == 0:
+            scale = 1.0
+            first_new = 1
+        else:
+            chained_rel = _to_window_frame(
+                estimates[start : start + 2], estimates[start]
+            )[1]
+            win_rel = poses_w[1]
+            num = jnp.linalg.norm(chained_rel[3:6])
+            den = jnp.maximum(jnp.linalg.norm(win_rel[3:6]), 1e-9)
+            scale = num / den
+            # frames up to the previous window's end are already estimated
+            first_new = starts[wi - 1] + w - start
+        anchor = estimates[start]
+        for j in range(first_new, w):
+            scaled = poses_w[j].at[3:6].multiply(scale)
+            estimates = estimates.at[start + j].set(_compose(anchor, scaled))
+    return estimates
+
+
+@_full_f32_matmuls
+def stitch_windows_global(
+    starts, window_poses, num_frames: int, rotation_iterations: int = 2
+) -> jax.Array:
+    """Overlap-consistent global stitching of window-relative solves.
+
+    Greedy chaining (:func:`_stitch_chain`) fixes each window's gauge
+    scale from a *single* shared frame pair, so per-window scale errors
+    compound like a random walk along the sequence — the measured
+    limiter of raw stitched ATE.  This solver uses every overlap
+    constraint jointly instead:
+
+    1. **Global rotation-graph optimisation** — every window edge
+       ``(start, start + j)`` constrains ``R[start+j] = R_rel[w, j] @
+       R[start]``.  Starting from greedy chaining, the so(3)-linearised
+       residuals ``r_e = log(R_f (R_rel R_s)^T)`` give the linear system
+       ``delta_f - delta_s = -r_e`` over per-frame tangent perturbations,
+       solved by least squares and applied ``R_f <- exp(delta_f) R_f``
+       (iterated Gauss-Newton; residuals are small so 2 iterations
+       converge).
+    2. **Joint centre/scale least squares** — camera centres obey
+       ``c[start+j] = c[start] + s_w * R_anchor[w]^T cw[w, j]`` where
+       ``cw`` is the centre in the window's (anchor-frame, arbitrary
+       scale) gauge.  This is *linear* in all centres ``c`` and window
+       scales ``s_w``; with ``c[0] = 0`` and ``s_0 = 1`` fixing the
+       gauge, one tiny dense least-squares solve (3·W·(w−1) equations)
+       recovers the maximum-consistency trajectory.
+
+    :param starts: ``W`` window anchor frame indices (static ints).
+    :param window_poses: list of ``(w, 6)`` window-relative poses, frame
+        ``starts[i]`` = identity in each window's own gauge.
+    :param num_frames: ``K``.
+    :return: ``(K, 6)`` absolute world->camera poses (frame 0 identity
+        gauge, first window's scale).
+    """
+    kf = num_frames
+    n_win = len(starts)
+    w = window_poses[0].shape[0]
+    dtype = window_poses[0].dtype
+    rel_rots = [so3_rotation_matrix(wp[:, 0:3]) for wp in window_poses]
+
+    # pass 1: greedy rotation chaining seeds the graph optimisation
+    rot = [None] * kf
+    rot[0] = jnp.eye(3, dtype=dtype)
+    for wi, s in enumerate(starts):
+        for j in range(1, w):
+            if rot[s + j] is None:
+                rot[s + j] = rel_rots[wi][j] @ rot[s]
+
+    # pass 2: global rotation-graph Gauss-Newton.  Unknown tangent
+    # perturbations delta_1..delta_{K-1} (frame 0 gauge-fixed); every
+    # window edge contributes 3 linearised equations.
+    edges = [
+        (s, s + j, rel_rots[wi][j])
+        for wi, s in enumerate(starts)
+        for j in range(1, w)
+    ]
+    nr = 3 * (kf - 1)
+    eye3 = jnp.eye(3, dtype=dtype)
+    a_rot = jnp.zeros((3 * len(edges), nr), dtype=dtype)
+    for e, (s, f, _) in enumerate(edges):
+        a_rot = a_rot.at[3 * e : 3 * e + 3, 3 * (f - 1) : 3 * f].set(eye3)
+        if s > 0:
+            a_rot = a_rot.at[3 * e : 3 * e + 3, 3 * (s - 1) : 3 * s].add(
+                -eye3
+            )
+    for _ in range(max(0, rotation_iterations)):
+        residuals = [
+            axis_angle_from_matrix(rot[f] @ (r_edge @ rot[s]).T)
+            for s, f, r_edge in edges
+        ]
+        b_rot = -jnp.concatenate(residuals)
+        delta = jnp.linalg.lstsq(a_rot, b_rot)[0].reshape(kf - 1, 3)
+        rot = [rot[0]] + [
+            so3_rotation_matrix(delta[f - 1]) @ rot[f] for f in range(1, kf)
+        ]
+
+    # joint linear least squares for centres c_1..c_{K-1} and window
+    # scales s_1..s_{W-1} (c_0 = 0, s_0 = 1 fix the gauge)
+    nc = 3 * (kf - 1)
+    nu = nc + (n_win - 1)
+    eye3 = jnp.eye(3, dtype=dtype)
+    rows, rhs = [], []
+    for wi, s in enumerate(starts):
+        r_a_t = rot[s].T
+        for j in range(1, w):
+            cw = -rel_rots[wi][j].T @ window_poses[wi][j, 3:6]
+            d = r_a_t @ cw
+            f = s + j
+            block = jnp.zeros((3, nu), dtype=dtype)
+            block = block.at[:, 3 * (f - 1) : 3 * f].set(eye3)
+            if s > 0:
+                block = block.at[:, 3 * (s - 1) : 3 * s].add(-eye3)
+            if wi == 0:
+                rhs.append(d)
+            else:
+                block = block.at[:, nc + wi - 1].set(-d)
+                rhs.append(jnp.zeros(3, dtype=dtype))
+            rows.append(block)
+    a_mat = jnp.concatenate(rows, axis=0)
+    b_vec = jnp.concatenate(rhs, axis=0)
+    solution = jnp.linalg.lstsq(a_mat, b_vec)[0]
+    centres = jnp.concatenate(
+        [jnp.zeros((1, 3), dtype=dtype), solution[:nc].reshape(kf - 1, 3)]
+    )
+    rot_all = jnp.stack(rot)  # (K, 3, 3)
+    t_all = -jnp.einsum("kij,kj->ki", rot_all, centres)
+    return jnp.concatenate([axis_angle_from_matrix(rot_all), t_all], axis=-1)
+
+
 @_full_f32_matmuls
 def solve_windowed_vo_learned(
     guess_fn,
     pixels: jax.Array,
     visibility: jax.Array,
     config: TrajectoryConfig,
+    stitch: str = "global",
 ) -> jax.Array:
     """Full learned VO: estimate the trajectory from observations alone.
 
-    Each window of ``config.window`` consecutive frames (overlapping by 2)
-    is handed to ``guess_fn`` — typically a trained
-    :class:`davo_tpu.models.CalibrationNetwork` (guess + in-forward BFGS)
-    — which returns the window's calibration vector in the gen-2 layout.
-    Window-relative poses are stitched into an absolute trajectory:
-    rotations chain directly; each window's arbitrary gauge scale is fixed
-    against the previous window through the shared (overlapped) frame
-    pair's relative translation.
+    Each window of ``config.window`` consecutive frames (overlapping by
+    ``window - stride`` >= 2) is handed to ``guess_fn`` — typically a
+    trained :class:`davo_tpu.models.CalibrationNetwork` (guess +
+    in-forward BFGS) — which returns the window's calibration vector in
+    the gen-2 layout.  Window-relative poses are stitched into an
+    absolute trajectory, either greedily (``stitch="chain"``: rotations
+    chain, each window's arbitrary gauge scale fixed from the single
+    shared frame pair) or by the overlap-consistent joint solve
+    (``stitch="global"``, the default: rotation averaging + one linear
+    least squares over all centres and window scales,
+    :func:`stitch_windows_global`).
 
     :param guess_fn: maps ``(pixels (1, M, N, 2), visibility (1, M, N))``
         to a flat calibration vector ``(1, P)``.
@@ -268,49 +430,32 @@ def solve_windowed_vo_learned(
         raise ValueError(
             f"sequence of {kf} frames is shorter than the window ({w})"
         )
-    stride = w - 2
-    estimates = jnp.zeros((kf, 6))
-
-    start = 0
-    prev_start = None
-    while True:
-        start = min(start, kf - w)
-        idx = jnp.arange(start, start + w)
-        vec = guess_fn(pixels[idx][None], visibility[idx][None])[0]
-        params = unpack_calibration_parameters(
-            vec, w, pixels.shape[1]
+    stride = config.stride if config.stride else w - 2
+    if not 1 <= stride <= w - 2:
+        raise ValueError(
+            f"stride must be in [1, window - 2] = [1, {w - 2}] so that "
+            f"consecutive windows overlap by >= 2 frames (got {stride})"
         )
-        rel_rot = params.camera_rotations[:, 0, :]  # (w-1, 3)
-        rel_trans = params.camera_translations[:, 0, :]
-        window_poses = jnp.concatenate(
-            [jnp.zeros((1, 6)),
-             jnp.concatenate([rel_rot, rel_trans], axis=-1)],
-            axis=0,
-        )  # (w, 6), frame `start` = identity in window gauge
+    if stitch not in ("chain", "global"):
+        raise ValueError(f"unknown stitch mode {stitch!r}")
 
-        if prev_start is None:
-            scale = 1.0
-        else:
-            # fix this window's scale against the chained estimate of the
-            # shared pair (start, start+1)
-            chained_rel = _to_window_frame(
-                estimates[start : start + 2], estimates[start]
-            )[1]
-            win_rel = window_poses[1]
-            num = jnp.linalg.norm(chained_rel[3:6])
-            den = jnp.maximum(jnp.linalg.norm(win_rel[3:6]), 1e-9)
-            scale = num / den
-
-        anchor = estimates[start]
-        first_new = 1 if prev_start is None else 2
-        for j in range(first_new, w):
-            scaled = window_poses[j].at[3:6].multiply(scale)
-            estimates = estimates.at[start + j].set(_compose(anchor, scaled))
-        if start + w >= kf:
-            break
-        prev_start = start
-        start = start + stride
-    return estimates
+    starts = _window_starts(kf, w, stride)
+    window_poses = []
+    for s in starts:
+        idx = jnp.arange(s, s + w)
+        vec = guess_fn(pixels[idx][None], visibility[idx][None])[0]
+        params = unpack_calibration_parameters(vec, w, pixels.shape[1])
+        rel = jnp.concatenate(
+            [params.camera_rotations[:, 0, :],
+             params.camera_translations[:, 0, :]],
+            axis=-1,
+        )
+        window_poses.append(
+            jnp.concatenate([jnp.zeros((1, 6), rel.dtype), rel], axis=0)
+        )
+    if stitch == "global":
+        return stitch_windows_global(starts, window_poses, kf)
+    return _stitch_chain(starts, window_poses, kf)
 
 
 @_full_f32_matmuls
@@ -614,6 +759,7 @@ def evaluate_learned_vo(
     refine_rounds: int = 1,
     host_polish: bool = False,
     multistart: int = 0,
+    stitch: str = "global",
 ) -> Dict[str, jax.Array]:
     """Generate a sequence, run the full learned VO (optionally followed by
     global BA refinement — single-start or ``multistart`` scale-mode
@@ -622,7 +768,9 @@ def evaluate_learned_vo(
     # comparable with the single-start eval path; hypotheses fold in
     k_hyp = jax.random.fold_in(key, 7)
     poses, _, pixels, visibility = generate_trajectory(key, config)
-    estimates = solve_windowed_vo_learned(guess_fn, pixels, visibility, config)
+    estimates = solve_windowed_vo_learned(
+        guess_fn, pixels, visibility, config, stitch=stitch
+    )
     intrinsics = jnp.asarray([config.focal_length, 0.0, 0.0])
     if multistart > 0:
         estimates = refine_trajectory_multistart(

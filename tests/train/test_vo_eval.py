@@ -49,14 +49,18 @@ def test_evaluate_vo_end_to_end(key):
 
 
 class TestLearnedVO:
-    def _oracle_guess_fn(self, poses, points, cfg):
+    def _oracle_guess_fn(self, poses, points, cfg, noise=0.0, seed=0):
         """A guess_fn that returns the ground-truth window calibration
         vector, with a deliberately different gauge scale per call — the
-        stitching must recover a consistent trajectory regardless."""
+        stitching must recover a consistent trajectory regardless.  With
+        ``noise`` the window-relative poses are perturbed (per-window
+        estimation error), deterministically from ``seed`` so two stitch
+        modes can be compared on identical window solves."""
         from davo_tpu.train.vo_eval import _to_window_frame
         from davo_tpu.geometry import so3_rotation_matrix
 
         call_count = {"n": 0}
+        rng = np.random.default_rng(seed)
 
         def guess_fn(pixels_window, vis_window):
             call_count["n"] += 1
@@ -72,6 +76,10 @@ class TestLearnedVO:
                     break
             idx = jnp.arange(start, start + cfg.window)
             rel_poses = _to_window_frame(poses[idx], poses[start])
+            if noise > 0.0:
+                rel_poses = rel_poses.at[1:].add(
+                    noise * rng.standard_normal((cfg.window - 1, 6))
+                )
             r0 = so3_rotation_matrix(poses[start, 0:3])
             pts_cam = (
                 jnp.einsum("ij,nj->ni", r0, points) + poses[start, 3:6]
@@ -90,22 +98,92 @@ class TestLearnedVO:
 
         return guess_fn
 
-    def test_oracle_guess_recovers_trajectory(self, key):
-        import jax
-
+    @pytest.mark.parametrize("stitch", ["chain", "global"])
+    def test_oracle_guess_recovers_trajectory(self, key, stitch):
         cfg = TrajectoryConfig(num_frames=9, num_points=16, window=4)
         poses, points, pixels, visibility = generate_trajectory(key, cfg)
         self._pixels = pixels
         from davo_tpu.train.vo_eval import solve_windowed_vo_learned
 
         guess_fn = self._oracle_guess_fn(poses, points, cfg)
-        estimates = solve_windowed_vo_learned(guess_fn, pixels, visibility, cfg)
+        estimates = solve_windowed_vo_learned(
+            guess_fn, pixels, visibility, cfg, stitch=stitch
+        )
         est_c = camera_centers_from_poses(estimates[:, 0:3], estimates[:, 3:6])
         true_c = camera_centers_from_poses(poses[:, 0:3], poses[:, 3:6])
         ate = absolute_trajectory_error(est_c, true_c)
-        # per-window gauge scales differ by 40% each call: the scale
-        # chaining must still stitch a consistent trajectory
+        # per-window gauge scales differ by 40% each call: the stitching
+        # must still recover a consistent trajectory
         assert float(ate["rmse"]) < 1e-4, dict(ate)
+
+    def _stitched_ate(self, key, stitch, stride=0, noise=0.02, frames=14):
+        from davo_tpu.train.vo_eval import solve_windowed_vo_learned
+
+        cfg = TrajectoryConfig(
+            num_frames=frames, num_points=16, window=4, stride=stride
+        )
+        poses, points, pixels, visibility = generate_trajectory(key, cfg)
+        self._pixels = pixels
+        guess_fn = self._oracle_guess_fn(poses, points, cfg, noise=noise)
+        estimates = solve_windowed_vo_learned(
+            guess_fn, pixels, visibility, cfg, stitch=stitch
+        )
+        est_c = camera_centers_from_poses(estimates[:, 0:3], estimates[:, 3:6])
+        true_c = camera_centers_from_poses(poses[:, 0:3], poses[:, 3:6])
+        return float(absolute_trajectory_error(est_c, true_c)["rmse"])
+
+    def test_global_stitch_beats_chain_under_window_noise(self, key):
+        # identical noisy window solves (same seed) for both modes.  At
+        # stride 1 greedy chaining compounds scale errors catastrophically
+        # (each window's scale comes from one noise-sensitive short-edge
+        # pair estimated from *previous* windows); the joint
+        # overlap-consistent solve must stay an order of magnitude below.
+        ates = {
+            stitch: np.mean(
+                [
+                    self._stitched_ate(
+                        jax.random.fold_in(key, t),
+                        stitch,
+                        stride=1,
+                        noise=0.002,
+                    )
+                    for t in range(3)
+                ]
+            )
+            for stitch in ("chain", "global")
+        }
+        assert ates["global"] < 0.25 * ates["chain"], ates
+
+    def test_denser_stride_tightens_global_stitch(self, key):
+        # stride 1 doubles the overlap constraints; in the small-noise
+        # regime of real window solves it should tighten the joint stitch
+        ate_default = np.mean(
+            [
+                self._stitched_ate(
+                    jax.random.fold_in(key, t), "global", noise=0.002
+                )
+                for t in range(4)
+            ]
+        )
+        ate_dense = np.mean(
+            [
+                self._stitched_ate(
+                    jax.random.fold_in(key, t), "global", stride=1, noise=0.002
+                )
+                for t in range(4)
+            ]
+        )
+        assert ate_dense < ate_default, (ate_dense, ate_default)
+
+    def test_invalid_stride_raises(self, key):
+        from davo_tpu.train.vo_eval import solve_windowed_vo_learned
+
+        cfg = TrajectoryConfig(num_frames=9, num_points=8, window=4, stride=3)
+        _, _, pixels, visibility = generate_trajectory(key, cfg)
+        with pytest.raises(ValueError):
+            solve_windowed_vo_learned(
+                lambda p, v: None, pixels, visibility, cfg
+            )
 
     def test_window_too_small_raises(self, key):
         from davo_tpu.train.vo_eval import solve_windowed_vo_learned
