@@ -28,7 +28,49 @@ from davo_tpu.geometry.distances import _NORM_FLOOR
 from davo_tpu.utils import guarded_sqrt
 from davo_tpu.utils.stable_trig import cos_from_sq, one_minus_cos_sq, sinc_sq
 
-__all__ = ["calibration_error_fast", "calibration_error_channel_major"]
+__all__ = [
+    "calibration_error_fast",
+    "calibration_error_channel_major",
+    "first_quadrant_atan2_poly",
+]
+
+# tan(pi/8): the cephes-style argument-reduction threshold for atan.
+_TAN_PI_8 = 0.41421356237309503
+_PI_4 = 0.7853981633974483
+_PI_2 = 1.5707963267948966
+
+
+def _atan_poly(t: jax.Array) -> jax.Array:
+    """Cephes ``atanf`` minimax polynomial, valid for ``|t| <= tan(pi/8)``
+    (~1.2e-7 max relative error — f32 roundoff)."""
+    z = t * t
+    p = jnp.asarray(8.05374449538e-2, t.dtype) * z - 1.38776856032e-1
+    p = p * z + 1.99777106478e-1
+    p = p * z - 3.33329491539e-1
+    return p * z * t + t
+
+
+def first_quadrant_atan2_poly(y: jax.Array, x: jax.Array) -> jax.Array:
+    """``atan2(y, x)`` for ``y, x >= 0`` from Mosaic-lowerable primitives.
+
+    ``atan2`` (and ``atan``) have no Pallas TPU lowering rule, but the
+    Kahan angle distance only ever needs the first quadrant: fold onto
+    ``t = min/max in [0, 1]``, reduce to ``|t| <= tan(pi/8)`` via
+    ``atan(t) = pi/4 + atan((t-1)/(t+1))``, evaluate the cephes
+    polynomial, and unfold with ``atan2(y, x) = pi/2 - atan2(x, y)``.
+    Accuracy ~1e-7 absolute (f32 roundoff); both inputs zero return 0.
+    """
+    swap = y > x
+    # Explicit where-selection, not min/max: jnp.minimum/maximum split
+    # gradients 50/50 at ties, which would corrupt the derivative on the
+    # y == x diagonal (theta = pi/2) — where picks one branch cleanly.
+    num = jnp.where(swap, x, y)
+    den = jnp.maximum(jnp.where(swap, y, x), jnp.asarray(1e-30, x.dtype))
+    t = num / den  # in [0, 1]
+    reduced = t > _TAN_PI_8
+    tr = jnp.where(reduced, (t - 1.0) / (t + 1.0), t)
+    a = _atan_poly(tr) + jnp.where(reduced, jnp.asarray(_PI_4, x.dtype), 0.0)
+    return jnp.where(swap, jnp.asarray(_PI_2, x.dtype) - a, a)
 
 
 def calibration_error_fast(
@@ -61,6 +103,8 @@ def calibration_error_channel_major(
     u_t: jax.Array,
     v_t: jax.Array,
     vis_t: jax.Array,
+    *,
+    approx_atan2: bool = False,
 ) -> jax.Array:
     """Structure-of-arrays core of :func:`calibration_error_fast`.
 
@@ -73,6 +117,9 @@ def calibration_error_channel_major(
     :param u_t: ``(M, N, B)`` observed pixel x components.
     :param v_t: ``(M, N, B)`` observed pixel y components.
     :param vis_t: ``(M, N, B)`` visibility as floats.
+    :param approx_atan2: use the polynomial first-quadrant atan2 (f32
+        roundoff accuracy) instead of ``jnp.arctan2`` — required inside
+        Pallas kernel bodies, where atan2 has no lowering rule.
     :return: ``(B,)`` summed masked angular error.
     """
     num_views = u_t.shape[0]
@@ -100,7 +147,10 @@ def calibration_error_channel_major(
     wx, wy, wz = wx * inv_scale, wy * inv_scale, wz * inv_scale
 
     # --- rays: (u - c, f') with f' = elu(f) + 1 ---------------------------
-    focal = jax.nn.elu(f) + 1.0  # (B,)
+    # Written as where(f > 0, f + 1, exp(f)) — algebraically identical to
+    # elu(f) + 1, but avoids expm1, which has no Mosaic TPU lowering rule
+    # (this core is the body of the fused Pallas kernels).
+    focal = jnp.where(f > 0.0, f + 1.0, jnp.exp(jnp.minimum(f, 0.0)))  # (B,)
     ray_x = u_t - cx  # (M, N, B)
     ray_y = v_t - cy
     inv_ray_norm = 1.0 / jnp.maximum(
@@ -142,6 +192,9 @@ def calibration_error_channel_major(
         summ = guarded_sqrt(
             (ax + bx) ** 2 + (ay + by) ** 2 + (az + bz) ** 2
         )
-        theta = 2.0 * jnp.arctan2(diff, summ)  # (N, B)
+        if approx_atan2:
+            theta = 2.0 * first_quadrant_atan2_poly(diff, summ)  # (N, B)
+        else:
+            theta = 2.0 * jnp.arctan2(diff, summ)  # (N, B)
         total = total + jnp.sum(theta * vis_t[m], axis=0)
     return total

@@ -24,6 +24,7 @@ from davo_tpu.camera import (
     calibration_error,
     num_calibration_parameters,
 )
+from davo_tpu.ops.calibration_obj import make_fused_calibration_objective
 from davo_tpu.solve import BFGSConfig, LBFGSConfig, bfgs_solve, lbfgs_solve
 
 __all__ = [
@@ -204,6 +205,14 @@ class CalibrationNetwork(nn.Module):
     head: str = "mlp"
     transformer_layers: int = 3
     transformer_heads: int = 4
+    # Fused Pallas objective (ops/calibration_obj.py) for the eval-mode
+    # solves: one VMEM pass per value+gradient / line-search probe instead
+    # of HBM-materialised autodiff intermediates.  Eval-only (the fused
+    # closure's custom_jvp discards higher-order structure, which the
+    # training-mode unrolled solve needs).  None auto-enables on TPU; the
+    # kernel choice itself is deferred to lowering time, so an explicitly
+    # True setting still runs (as an equivalent jnp program) on CPU.
+    fused_objective: Optional[bool] = None
 
     @nn.compact
     def __call__(
@@ -270,6 +279,10 @@ class CalibrationNetwork(nn.Module):
             if isinstance(self.solver, LBFGSConfig)
             else bfgs_solve
         )
+        use_fused_obj = self.fused_objective
+        if use_fused_obj is None:
+            use_fused_obj = jax.devices()[0].platform == "tpu"
+        use_fused_obj = use_fused_obj and not training
 
         restarts = 1 if training else max(self.num_restarts, 1)
         if restarts > 1:
@@ -325,12 +338,29 @@ class CalibrationNetwork(nn.Module):
                     parameters.reshape(batch, restarts, num_parameters)
                 ).reshape(batch * restarts)
 
-            solved = solve(
-                flat_error,
-                starts.reshape(batch * restarts, num_parameters),
-                self.solver,
-                training=False,
-            ).reshape(batch, restarts, num_parameters)
+            if use_fused_obj:
+                # The fused closures capture per-element observations, so
+                # tile them over the E restarts (tiny: M x N scalars per
+                # element) instead of broadcasting inside the callback.
+                tiled_pts = jnp.repeat(true_projected_points, restarts, axis=0)
+                tiled_vis = jnp.repeat(visibility, restarts, axis=0)
+                flat_obj, flat_vg = make_fused_calibration_objective(
+                    tiled_pts, tiled_vis
+                )
+                solved = solve(
+                    flat_obj,
+                    starts.reshape(batch * restarts, num_parameters),
+                    self.solver,
+                    training=False,
+                    value_and_grad_fn=flat_vg,
+                ).reshape(batch, restarts, num_parameters)
+            else:
+                solved = solve(
+                    flat_error,
+                    starts.reshape(batch * restarts, num_parameters),
+                    self.solver,
+                    training=False,
+                ).reshape(batch, restarts, num_parameters)
             if self.selection == "basin":
                 anchor = None
                 if self.basin.anchor_weight > 0.0:

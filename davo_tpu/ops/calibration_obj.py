@@ -47,7 +47,10 @@ def _vg_kernel(p_ref, u_ref, v_ref, vis_ref, err_ref, grad_ref):
     p = p_ref[...]
     u, v, vis = u_ref[...], v_ref[...], vis_ref[...]
     err, vjp_fn = jax.vjp(
-        lambda q: calibration_error_channel_major(q, u, v, vis), p
+        lambda q: calibration_error_channel_major(
+            q, u, v, vis, approx_atan2=True
+        ),
+        p,
     )
     (grad,) = vjp_fn(jnp.ones_like(err))
     err_ref[...] = err[None]
@@ -60,7 +63,11 @@ def _dirderiv_kernel(p_ref, d_ref, u_ref, v_ref, vis_ref, err_ref, dphi_ref):
     d = d_ref[...]
     u, v, vis = u_ref[...], v_ref[...], vis_ref[...]
     err, dphi = jax.jvp(
-        lambda q: calibration_error_channel_major(q, u, v, vis), (p,), (d,)
+        lambda q: calibration_error_channel_major(
+            q, u, v, vis, approx_atan2=True
+        ),
+        (p,),
+        (d,),
     )
     err_ref[...] = err[None]
     dphi_ref[...] = dphi[None]
@@ -221,7 +228,9 @@ def make_fused_calibration_objective(
     :param projected_points: ``(B, M, N, 2)`` observed pixels.
     :param visibility_mask: ``(B, M, N)`` boolean/float visibility.
     """
-    dtype = jnp.float32
+    # f64 observations stay f64 (the CPU-verification regime; the kernels
+    # are f32-only, so that case takes the jnp fallback); bf16 promotes up.
+    dtype = jnp.promote_types(projected_points.dtype, jnp.float32)
     u_t = jnp.transpose(projected_points[..., 0], (1, 2, 0)).astype(dtype)
     v_t = jnp.transpose(projected_points[..., 1], (1, 2, 0)).astype(dtype)
     vis_t = jnp.transpose(visibility_mask, (1, 2, 0)).astype(dtype)

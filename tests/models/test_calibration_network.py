@@ -225,3 +225,29 @@ def net_num_params():
     from davo_tpu.camera import num_calibration_parameters
 
     return num_calibration_parameters(M, N)
+
+
+@pytest.mark.parametrize("restarts", [1, 3])
+def test_fused_objective_matches_plain(batch, key, restarts):
+    # The fused-objective eval path (here: its jnp fallback, since tests run
+    # on CPU) must produce the same solves as the plain objective.
+    common = dict(
+        num_views=M, num_points=N, hidden_size=32, solver=SOLVER,
+        num_restarts=restarts,
+    )
+    plain = CalibrationNetwork(**common, fused_objective=False)
+    fused = CalibrationNetwork(**common, fused_objective=True)
+    variables = _init(plain, batch, key)
+    kwargs = dict(training=False, return_error=True)
+    out_p, err_p = plain.apply(
+        variables, batch.projected_points, batch.visibility_mask, **kwargs
+    )
+    out_f, err_f = fused.apply(
+        variables, batch.projected_points, batch.visibility_mask, **kwargs
+    )
+    # The network runs f32 (flax-init params); the fused path evaluates the
+    # channel-major formulation whose float ordering differs from
+    # calibration_error's, so iterates drift at roundoff scale over the
+    # solve.  A wiring bug (tiling/ordering/selection) would show as O(1).
+    np.testing.assert_allclose(out_f, out_p, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(err_f, err_p, rtol=2e-3, atol=2e-4)
