@@ -149,8 +149,13 @@ def calibration_error_channel_major(
     # --- rays: (u - c, f') with f' = elu(f) + 1 ---------------------------
     # Written as where(f > 0, f + 1, exp(f)) — algebraically identical to
     # elu(f) + 1, but avoids expm1, which has no Mosaic TPU lowering rule
-    # (this core is the body of the fused Pallas kernels).
-    focal = jnp.where(f > 0.0, f + 1.0, jnp.exp(jnp.minimum(f, 0.0)))  # (B,)
+    # (this core is the body of the fused Pallas kernels).  Double-where:
+    # the inner where zeroes the unselected exp branch's argument so the
+    # tangent at exactly f == 0 is 1.0, not the 0.5 a minimum-tie would
+    # split (same removable-boundary pattern as first_quadrant_atan2_poly).
+    focal = jnp.where(
+        f > 0.0, f + 1.0, jnp.exp(jnp.where(f > 0.0, 0.0, f))
+    )  # (B,)
     ray_x = u_t - cx  # (M, N, B)
     ray_y = v_t - cy
     inv_ray_norm = 1.0 / jnp.maximum(

@@ -383,6 +383,20 @@ class CalibrationNetwork(nn.Module):
             result = jnp.take_along_axis(
                 solved, best[:, None, None], axis=1
             )[:, 0]
+        elif use_fused_obj:
+            # Single-start eval: the fused closures replace the plain
+            # objective directly (use_fused_obj already excludes training,
+            # whose unrolled solve needs the differentiable jnp path).
+            fused_obj, fused_vg = make_fused_calibration_objective(
+                true_projected_points, visibility
+            )
+            result = solve(
+                fused_obj,
+                initial_guess,
+                self.solver,
+                training=False,
+                value_and_grad_fn=fused_vg,
+            )
         else:
             result = solve(
                 error_function,

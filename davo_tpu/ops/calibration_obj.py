@@ -28,6 +28,9 @@ fallback with identical semantics instead of the Mosaic kernel.
 
 from __future__ import annotations
 
+import math
+import warnings
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -90,6 +93,27 @@ def _kernel_eligible(parameters: jax.Array, block_b: int) -> bool:
     )
 
 
+def _pick_block_b(batch: int, block_b: int) -> int:
+    """Largest common divisor block: the grid must tile the batch exactly.
+
+    ``gcd`` keeps lane-friendly powers of two when both sizes are powers
+    of two (the common case).  A lane-starved result (< 128 despite a
+    batch that could fill the 128-wide lane axis) still runs but pads —
+    warn so the caller can pick a friendlier batch instead of silently
+    losing the kernel's benefit.
+    """
+    block = math.gcd(batch, block_b)
+    if block < min(batch, 128):
+        warnings.warn(
+            "fused calibration objective: batch "
+            f"{batch} shares no divisor >= 128 with block_b {block_b}; "
+            f"running with block_b={block} (lanes padded to 128). Use a "
+            "batch*restarts that is a multiple of 128 for full throughput.",
+            stacklevel=3,
+        )
+    return block
+
+
 def calibration_value_and_grad(
     parameters: jax.Array,
     u_t: jax.Array,
@@ -109,7 +133,7 @@ def calibration_value_and_grad(
         time (TPU -> Mosaic kernel, others -> jnp fallback).
     :return: ``(error (B,), gradient (B, P))``.
     """
-    block_b = min(block_b, parameters.shape[0])
+    block_b = _pick_block_b(parameters.shape[0], block_b)
 
     def jnp_path(params, u, v, vis):
         err, vjp_fn = jax.vjp(
@@ -161,7 +185,7 @@ def calibration_value_and_dirderiv(
     :param direction: ``(B, P)`` tangent (the search direction).
     :return: ``(error (B,), dphi (B,))``.
     """
-    block_b = min(block_b, parameters.shape[0])
+    block_b = _pick_block_b(parameters.shape[0], block_b)
 
     def jnp_path(params, tangent, u, v, vis):
         return jax.jvp(

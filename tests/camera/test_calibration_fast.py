@@ -118,6 +118,23 @@ def test_perfect_observations_zero_error_and_grad_finite():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_gradient_matches_at_focal_boundary():
+    # regression: where(f>0, f+1, exp(minimum(f, 0))) split the tangent
+    # 50/50 at exactly f == 0 (gradient 0.5 instead of elu'(0) == 1);
+    # the double-where form must match the reference elu(f)+1 gradient.
+    params, pixels, vis = _random_problem(11, b=6)
+    params = params.at[:, 0].set(0.0)  # focal parameter exactly at the tie
+    g_ref = jax.grad(lambda p: jnp.sum(calibration_error(p, pixels, vis)))(
+        params
+    )
+    g_fast = jax.grad(
+        lambda p: jnp.sum(calibration_error_fast(p, pixels, vis))
+    )(params)
+    np.testing.assert_allclose(
+        np.asarray(g_fast[:, 0]), np.asarray(g_ref[:, 0]), rtol=1e-9
+    )
+
+
 def test_rejects_extra_batch_dims():
     params, pixels, vis = _random_problem(0, b=4)
     with pytest.raises(ValueError):

@@ -50,6 +50,46 @@ def test_checkpoint_roundtrip(tmp_path):
         restore_checkpoint(str(tmp_path / "missing"))
 
 
+def test_checkpoint_pickle_format_roundtrip(tmp_path):
+    # round-1 legacy format (the shipped artifact checkpoints) stays
+    # writable and readable alongside orbax directories
+    state = {"params": {"w": jnp.arange(3.0)}}
+    path = save_checkpoint(str(tmp_path), 5, state, format="pickle")
+    assert path.endswith("checkpoint_5.pkl")
+    save_checkpoint(str(tmp_path), 7, state)  # orbax
+    assert latest_step(str(tmp_path)) == 7
+    restored = restore_checkpoint(str(tmp_path), 5)
+    np.testing.assert_array_equal(restored["params"]["w"], np.arange(3.0))
+
+
+def test_checkpoint_sharded_restore_across_mesh_shapes(tmp_path):
+    # Save a state sharded over an 8-way data axis, restore it directly
+    # onto a differently-shaped (4, 2) mesh without a host round-trip.
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devices = np.asarray(jax.devices())
+    assert devices.size == 8
+    mesh_a = Mesh(devices.reshape(8), ("dp",))
+    w = jnp.arange(16.0 * 4).reshape(16, 4)
+    sharded = jax.device_put(w, NamedSharding(mesh_a, P("dp", None)))
+    state = {"params": {"w": sharded}, "step": jnp.asarray(3)}
+    save_checkpoint(str(tmp_path), 1, state)
+
+    mesh_b = Mesh(devices.reshape(4, 2), ("a", "b"))
+    target = NamedSharding(mesh_b, P("a", "b"))
+    abstract = {
+        "params": {
+            "w": jax.ShapeDtypeStruct(w.shape, w.dtype, sharding=target)
+        },
+        "step": jax.ShapeDtypeStruct((), jnp.asarray(3).dtype),
+    }
+    restored = restore_checkpoint(str(tmp_path), 1, abstract_state=abstract)
+    assert restored["params"]["w"].sharding == target
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]), w)
+    assert int(restored["step"]) == 3
+
+
 def _run_cli(*args):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
