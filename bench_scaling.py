@@ -70,8 +70,97 @@ def measure(n_devices: int) -> float:
     return config.batch_size / min(runs)
 
 
+def measure_ba_2d(kf: int, pt: int, m: int = 16, n_points: int = 64) -> float:
+    """Keyframe x point 2-D mesh Schur BA steps/s (weak per-mesh problem)."""
+    import numpy as np
+
+    from davo_tpu.parallel import (
+        BAObservations,
+        BAProblem,
+        SchurConfig,
+        distributed_schur_ba_2d,
+        schur_ba_solve,
+    )
+
+    rng = np.random.default_rng(0)
+    import jax.numpy as jnp
+
+    points = jnp.asarray(
+        np.concatenate(
+            [rng.normal(size=(n_points, 2)) * 2.0, 8.0 + rng.normal(size=(n_points, 1))],
+            axis=-1,
+        ),
+        jnp.float32,
+    )
+    poses = np.zeros((m, 6), np.float32)
+    poses[:, 0:3] = rng.normal(size=(m, 3)) * 0.05
+    poses[:, 3:5] = rng.normal(size=(m, 2)) * 0.5
+    poses[0] = 0.0
+    problem = BAProblem(
+        intrinsics=jnp.asarray([1.4, 0.05, -0.05], jnp.float32),
+        poses=jnp.asarray(poses),
+        points=points,
+    )
+    from davo_tpu.geometry import rotate_vector_axis_angle
+
+    rel = (
+        rotate_vector_axis_angle(points[None], problem.poses[:, None, 0:3])
+        + problem.poses[:, None, 3:6]
+    )
+    pixels = jnp.stack(
+        [
+            1.4 * rel[..., 0] / rel[..., 2] + 0.05,
+            1.4 * rel[..., 1] / rel[..., 2] - 0.05,
+        ],
+        axis=-1,
+    )
+    obs = BAObservations(pixels=pixels, visibility=jnp.ones((m, n_points), bool))
+    cfg = SchurConfig(iterations=10)
+    if kf * pt == 1:
+        solve = jax.jit(lambda p: schur_ba_solve(p, obs, cfg))
+    else:
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        mesh = Mesh(
+            _np.asarray(jax.devices()[: kf * pt]).reshape(kf, pt), ("kf", "pt")
+        )
+        solve = jax.jit(lambda p: distributed_schur_ba_2d(p, obs, mesh, cfg))
+    out = solve(problem)
+    jax.block_until_ready(out.points)
+    runs = []
+    for _ in range(3):
+        start = time.perf_counter()
+        out = solve(problem)
+        jax.block_until_ready(out.points)
+        runs.append(time.perf_counter() - start)
+    return cfg.iterations / min(runs)
+
+
 def main():
     available = len(jax.devices())
+    if os.environ.get("SCALING_MODE") == "ba2d":
+        # keyframe x point mesh sweep for the distributed BA
+        shapes = [(1, 1)]
+        if available >= 4:
+            shapes.append((2, 2))
+        if available >= 8:
+            shapes += [(4, 2), (2, 4)]
+        base = None
+        for kf, pt in shapes:
+            sps = measure_ba_2d(kf, pt)
+            base = base or sps
+            print(
+                json.dumps(
+                    {
+                        "mesh": f"{kf}x{pt}",
+                        "ba_steps_per_s": round(sps, 2),
+                        "speedup": round(sps / base, 3),
+                    }
+                ),
+                flush=True,
+            )
+        return
     sizes = sorted({1, 2, available} & set(range(1, available + 1)))
     results = {}
     for n in sizes:

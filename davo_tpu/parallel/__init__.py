@@ -15,7 +15,13 @@ from .schur import (
     schur_normal_step,
     schur_ba_solve,
     distributed_schur_ba,
+    distributed_schur_ba_2d,
     default_gauge_masks,
+)
+from .pose_graph import (
+    WindowEdges,
+    build_window_edges,
+    distributed_stitch_windows,
 )
 
 __all__ = [
@@ -33,5 +39,9 @@ __all__ = [
     "schur_normal_step",
     "schur_ba_solve",
     "distributed_schur_ba",
+    "distributed_schur_ba_2d",
     "default_gauge_masks",
+    "WindowEdges",
+    "build_window_edges",
+    "distributed_stitch_windows",
 ]

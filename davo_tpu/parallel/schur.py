@@ -46,6 +46,7 @@ __all__ = [
     "schur_normal_step",
     "schur_ba_solve",
     "distributed_schur_ba",
+    "distributed_schur_ba_2d",
     "default_gauge_masks",
 ]
 
@@ -197,18 +198,27 @@ def _camera_dim(num_views: int) -> int:
     return 3 + 6 * num_views
 
 
-def _local_reduction(problem, obs, config, gauge_masks, damping):
-    """The per-shard half of a Schur step: IRLS-weighted, gauge-masked
-    Jacobian blocks reduced into this shard's contribution to the reduced
-    camera system plus the local point-elimination factors.
+def _normal_parts(
+    problem, obs, config, gauge_masks, *, num_total_views=None, view_offset=0
+):
+    """Raw normal-equation parts for whatever observation block
+    ``problem``/``obs`` hold — the full problem on one device, or an
+    (M_local x N_local) block inside ``shard_map``.
 
-    Works on whatever slice of points ``problem``/``obs`` hold (the full
-    problem on one device, or a shard inside ``shard_map``).
+    The dense camera axis spans ``num_total_views`` views (defaults to the
+    local view count); the local views' pose columns land at
+    ``view_offset`` so keyframe shards assemble disjoint column ranges of
+    the same global system.
 
-    :return: ``(s_part, rhs_part, h_cp, c_inv, g_p)``.
+    :return: ``(h_cc (C,C), g_c (C,), h_cp (N,C,3), c_blk (N,3,3),
+        g_p (N,3))`` with ``C = 3 + 6 * num_total_views`` — no pinning or
+        inversion yet (2-D shards must psum ``c_blk`` over the keyframe
+        axis first).
     """
     intr_free, pose_free, point_free = gauge_masks
     m = problem.poses.shape[0]
+    if num_total_views is None:
+        num_total_views = m
     r, j_intr, j_pose, j_point = _jacobian_blocks(problem, obs, config)
     w_irls = _irls_weights(r, config)
     r = r * w_irls
@@ -221,11 +231,20 @@ def _local_reduction(problem, obs, config, gauge_masks, damping):
         * w_irls[..., None]
         * point_free.astype(r.dtype)[None, :, None, :]
     )
-    # dense camera Jacobian (M, N, 2, 3 + 6M): pose block one-hot by view
+    # dense camera Jacobian (M, N, 2, 3 + 6*M_total): local pose blocks
+    # one-hot at their global view positions
     eye_m = jnp.eye(m, dtype=j_pose.dtype)
     j_pose_dense = jnp.einsum("mnrp,mv->mnrvp", j_pose, eye_m).reshape(
         j_pose.shape[:3] + (6 * m,)
     )
+    if num_total_views != m or view_offset != 0:
+        pad = jnp.zeros(
+            j_pose_dense.shape[:3] + (6 * num_total_views,),
+            j_pose_dense.dtype,
+        )
+        j_pose_dense = jax.lax.dynamic_update_slice_in_dim(
+            pad, j_pose_dense, 6 * view_offset, axis=3
+        )
     j_cam = jnp.concatenate([j_intr, j_pose_dense], axis=-1)
 
     h_cc = jnp.einsum("mnrc,mnrd->cd", j_cam, j_cam)
@@ -233,7 +252,14 @@ def _local_reduction(problem, obs, config, gauge_masks, damping):
     h_cp = jnp.einsum("mnrc,mnrp->ncp", j_cam, j_point)
     c_blk = jnp.einsum("mnrp,mnrq->npq", j_point, j_point)
     g_p = jnp.einsum("mnrp,mnr->np", j_point, r)
+    return h_cc, g_c, h_cp, c_blk, g_p
 
+
+def _eliminate_points(h_cc, g_c, h_cp, c_blk, g_p, point_free, damping):
+    """Finish the Schur elimination given complete per-point factors.
+
+    :return: ``(s_part, rhs_part, c_inv)``.
+    """
     # damping + gauge pinning of the point blocks.  The Jacobian columns of
     # pinned dims are masked to zero above, so their normal-equation rows
     # and rhs are exactly zero: ANY positive diagonal pin yields a zero
@@ -249,6 +275,26 @@ def _local_reduction(problem, obs, config, gauge_masks, damping):
 
     s_part = h_cc - jnp.einsum("ncp,npq,ndq->cd", h_cp, c_inv, h_cp)
     rhs_part = -g_c + jnp.einsum("ncp,npq,nq->c", h_cp, c_inv, g_p)
+    return s_part, rhs_part, c_inv
+
+
+def _local_reduction(problem, obs, config, gauge_masks, damping):
+    """The per-shard half of a Schur step: IRLS-weighted, gauge-masked
+    Jacobian blocks reduced into this shard's contribution to the reduced
+    camera system plus the local point-elimination factors.
+
+    Works on whatever slice of points ``problem``/``obs`` hold (the full
+    problem on one device, or a shard inside ``shard_map``).
+
+    :return: ``(s_part, rhs_part, h_cp, c_inv, g_p)``.
+    """
+    point_free = gauge_masks[2]
+    h_cc, g_c, h_cp, c_blk, g_p = _normal_parts(
+        problem, obs, config, gauge_masks
+    )
+    s_part, rhs_part, c_inv = _eliminate_points(
+        h_cc, g_c, h_cp, c_blk, g_p, point_free, damping
+    )
     return s_part, rhs_part, h_cp, c_inv, g_p
 
 
@@ -437,6 +483,159 @@ def distributed_schur_ba(
             prob.points,
             obs.pixels,
             obs.visibility.astype(prob.points.dtype),
+            point_free,
+            damping,
+        )
+        return _apply_camera_delta(prob, dc)._replace(points=new_points)
+
+    return _lm_loop(
+        problem,
+        config,
+        step_fn,
+        lambda prob: _weighted_cost(prob, obs, config),
+    )
+
+
+@_full_f32_matmuls
+def distributed_schur_ba_2d(
+    problem: BAProblem,
+    obs: BAObservations,
+    mesh: Mesh,
+    config: SchurConfig = SchurConfig(),
+    kf_axis: str = "kf",
+    pt_axis: str = "pt",
+    gauge_masks=None,
+) -> BAProblem:
+    """Schur BA over a 2-D (keyframe x point) device mesh.
+
+    The BASELINE north star's map-partitioning axis: long sequences shard
+    their *keyframes* as well as their map points.  Each device owns an
+    ``(M/a x N/b)`` observation block, ``M/a`` poses, and ``N/b`` points;
+    per step:
+
+    1. every device builds the raw normal-equation parts of its block,
+       with its pose columns placed at their global offsets in the dense
+       camera axis (:func:`_normal_parts`);
+    2. the per-point factors ``(H_cp, C, g_p)`` are ``psum``-reduced over
+       the **keyframe axis** — this is the separator traffic: a point seen
+       from several keyframe shards couples them, and summing its factors
+       is exactly the cross-shard coupling the pose graph must honour;
+    3. point elimination is spread over the *whole* mesh with no redundant
+       work: each keyframe row eliminates a disjoint ``N/(a*b)`` sub-slice
+       of its point shard, the eliminated contributions are
+       ``psum``-reduced over **both** axes into the replicated reduced
+       camera system, which every device solves identically;
+    4. point deltas are back-substituted on the sub-slices and
+       ``all_gather``-ed along the keyframe axis back into the point
+       sharding.
+
+    Requires ``M % a == 0``, ``N % b == 0`` and ``(N // b) % a == 0``.
+    Poses enter sharded over the keyframe axis; intrinsics and the solved
+    camera delta are replicated.
+    """
+    m, n = obs.pixels.shape[0], obs.pixels.shape[1]
+    if gauge_masks is None:
+        gauge_masks = default_gauge_masks(m, n)
+    intr_free, pose_free, point_free = gauge_masks
+    a = mesh.shape[kf_axis]
+    b = mesh.shape[pt_axis]
+    if m % a != 0:
+        raise ValueError(
+            f"num_views={m} must divide evenly over mesh axis {kf_axis!r} "
+            f"(size {a})"
+        )
+    if n % b != 0 or (n // b) % a != 0:
+        raise ValueError(
+            f"num_points={n} must divide evenly over both mesh axes "
+            f"({pt_axis!r} size {b}, then {kf_axis!r} size {a})"
+        )
+    m_loc = m // a
+    n_sub = (n // b) // a
+
+    def local_step(intr, poses, points, pixels, vis, pose_free_l, point_free_l, damping):
+        kf_idx = jax.lax.axis_index(kf_axis)
+        prob = BAProblem(intr, poses, points)
+        local_obs = BAObservations(pixels, vis)
+        shard_masks = (intr_free, pose_free_l, point_free_l)
+        h_cc, g_c, h_cp, c_blk, g_p = _normal_parts(
+            prob,
+            local_obs,
+            config,
+            shard_masks,
+            num_total_views=m,
+            view_offset=kf_idx * m_loc,
+        )
+        # separator reduction: complete each point's factors across the
+        # keyframe shards that observe it
+        h_cp = jax.lax.psum(h_cp, kf_axis)
+        c_blk = jax.lax.psum(c_blk, kf_axis)
+        g_p = jax.lax.psum(g_p, kf_axis)
+
+        # disjoint elimination sub-slices along the keyframe axis
+        def sub(x):
+            return jax.lax.dynamic_slice_in_dim(
+                x, kf_idx * n_sub, n_sub, axis=0
+            )
+
+        s_part, rhs_part, c_inv_sub = _eliminate_points(
+            h_cc, g_c, sub(h_cp), sub(c_blk), sub(g_p), sub(point_free_l), damping
+        )
+        s = jax.lax.psum(s_part, (kf_axis, pt_axis))
+        rhs = jax.lax.psum(rhs_part, (kf_axis, pt_axis))
+
+        # replicated reduced-system solve (same maths as
+        # _solve_camera_and_points, with the pose mask gathered from the
+        # keyframe shards)
+        pose_free_full = jax.lax.all_gather(
+            pose_free_l.reshape(-1), kf_axis, axis=0, tiled=True
+        )
+        cam_free = jnp.concatenate([intr_free, pose_free_full])
+        diag_scale = jnp.maximum(jnp.trace(s) / _camera_dim(m), 1.0)
+        diag = jnp.where(cam_free, damping, diag_scale).astype(s.dtype)
+        s = s + jnp.diag(diag)
+        dc = jnp.linalg.solve(s, rhs)
+        dc = dc + jnp.linalg.solve(s, rhs - s @ dc)
+        dc = dc * cam_free.astype(dc.dtype)
+
+        dp_sub = jnp.einsum(
+            "npq,nq->np",
+            c_inv_sub,
+            -sub(g_p) - jnp.einsum("ncp,c->np", sub(h_cp), dc),
+        )
+        dp_sub = dp_sub * sub(point_free_l).astype(dp_sub.dtype)
+        dp = jax.lax.all_gather(dp_sub, kf_axis, axis=0, tiled=True)
+        return dc, points + dp
+
+    replicated = P()
+    sharded_step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            replicated,
+            P(kf_axis),
+            P(pt_axis),
+            P(kf_axis, pt_axis),
+            P(kf_axis, pt_axis),
+            P(kf_axis),
+            P(pt_axis),
+            replicated,
+        ),
+        out_specs=(replicated, P(pt_axis)),
+        # the static varying-axes checker cannot prove that the
+        # axis_index-sliced elimination + tiled all_gather reconstitutes
+        # values replicated over the keyframe axis (it does — the
+        # N-device == 1-device equality tests pin the semantics down)
+        check_vma=False,
+    )
+
+    def step_fn(prob, damping):
+        dc, new_points = sharded_step(
+            prob.intrinsics,
+            prob.poses,
+            prob.points,
+            obs.pixels,
+            obs.visibility.astype(prob.points.dtype),
+            pose_free,
             point_free,
             damping,
         )

@@ -152,3 +152,87 @@ class TestDistributed:
             lambda p, o: distributed_schur_ba(p, o, mesh, cfg)
         )(start, obs)
         assert np.all(np.isfinite(solved.points))
+
+
+class TestDistributed2D:
+    def _mesh(self, kf, pt):
+        devices = np.asarray(jax.devices()[: kf * pt]).reshape(kf, pt)
+        from jax.sharding import Mesh
+
+        return Mesh(devices, ("kf", "pt"))
+
+    @pytest.mark.parametrize("kf,pt", [(2, 4), (4, 2)])
+    def test_matches_single_device(self, rng, kf, pt):
+        from davo_tpu.parallel import distributed_schur_ba_2d
+
+        truth, start, obs = _make_problem(rng, noise=0.02)
+        cfg = SchurConfig(iterations=8, damping=1e-4)
+        single = schur_ba_solve(start, obs, cfg)
+        distributed = distributed_schur_ba_2d(
+            start, obs, self._mesh(kf, pt), cfg
+        )
+        np.testing.assert_allclose(
+            distributed.points, single.points, rtol=1e-5, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            distributed.poses, single.poses, rtol=1e-5, atol=1e-7
+        )
+        assert _cost(distributed, obs) < 1e-8
+
+    def test_long_sequence_matches_single_device(self, rng):
+        # the north-star shape: many keyframes sharded over the mesh
+        from davo_tpu.parallel import distributed_schur_ba_2d
+
+        m, n = 16, 32
+        points = np.concatenate(
+            [rng.normal(size=(n, 2)) * 2.0, 8.0 + rng.normal(size=(n, 1))],
+            axis=-1,
+        )
+        poses = np.zeros((m, 6))
+        poses[:, 0:3] = rng.normal(size=(m, 3)) * 0.05
+        poses[:, 3:5] = rng.normal(size=(m, 2)) * 0.5
+        poses[0] = 0.0
+        truth = BAProblem(
+            intrinsics=jnp.asarray([1.4, 0.05, -0.05]),
+            poses=jnp.asarray(poses),
+            points=jnp.asarray(points),
+        )
+        obs = BAObservations(
+            pixels=_project(truth), visibility=jnp.ones((m, n), dtype=bool)
+        )
+        start = BAProblem(
+            intrinsics=truth.intrinsics + 0.02 * jnp.asarray(rng.normal(size=3)),
+            poses=truth.poses.at[1:].add(
+                0.02 * jnp.asarray(rng.normal(size=(m - 1, 6)))
+            ),
+            points=truth.points + 0.02 * jnp.asarray(rng.normal(size=(n, 3))),
+        )
+        cfg = SchurConfig(iterations=8, damping=1e-4)
+        single = schur_ba_solve(start, obs, cfg)
+        distributed = distributed_schur_ba_2d(
+            start, obs, self._mesh(4, 2), cfg
+        )
+        np.testing.assert_allclose(
+            distributed.poses, single.poses, rtol=1e-5, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            distributed.points, single.points, rtol=1e-5, atol=1e-7
+        )
+        assert _cost(distributed, obs) < 1e-8
+
+    def test_shape_validation(self, rng):
+        from davo_tpu.parallel import distributed_schur_ba_2d
+
+        truth, start, obs = _make_problem(rng)
+        mesh = self._mesh(2, 4)
+        # M = 4 views not divisible by a 3-wide kf axis is impossible here,
+        # but N not divisible by (pt * kf) must raise
+        with pytest.raises(ValueError):
+            distributed_schur_ba_2d(
+                start._replace(points=start.points[:12]),
+                BAObservations(
+                    pixels=obs.pixels[:, :12],
+                    visibility=obs.visibility[:, :12],
+                ),
+                mesh,
+            )
