@@ -109,6 +109,47 @@ def main(argv=None):
     )
     sub.add_parser("bench", help="run the headline benchmark")
     sub.add_parser("presets", help="list experiment presets")
+    seq_p = sub.add_parser(
+        "eval-seq",
+        help="evaluate trajectories in TUM/KITTI file formats: compare an "
+        "estimate against ground truth, or run windowed VO along a "
+        "ground-truth file with synthesized landmarks",
+    )
+    seq_p.add_argument("--gt", required=True, help="ground-truth trajectory file")
+    seq_p.add_argument(
+        "--est", default=None, help="estimated trajectory file (compare mode)"
+    )
+    seq_p.add_argument("--format", default="tum", choices=("tum", "kitti"))
+    seq_p.add_argument(
+        "--max-dt", type=float, default=0.02, help="TUM association window (s)"
+    )
+    seq_p.add_argument(
+        "--intrinsics", default=None, help="intrinsics file (fx fy cx cy)"
+    )
+    seq_p.add_argument(
+        "--calib", default=None, help="KITTI calib.txt (P0 row)"
+    )
+    seq_p.add_argument("--window", type=int, default=4)
+    seq_p.add_argument("--points", type=int, default=32)
+    seq_p.add_argument("--max-frames", type=int, default=None)
+    seq_p.add_argument("--rpe-delta", type=int, default=1)
+    seq_p.add_argument("--seed", type=int, default=0)
+    seq_p.add_argument("--platform", default=None)
+    fe_p = sub.add_parser(
+        "fit-frontend",
+        help="train the visual front-end (detector + attention matcher)",
+    )
+    fe_p.add_argument("--epochs", type=int, default=None)
+    fe_p.add_argument("--batch-size", type=int, default=None)
+    fe_p.add_argument("--batches-per-epoch", type=int, default=None)
+    fe_p.add_argument("--image-size", type=int, default=None)
+    fe_p.add_argument("--points", type=int, default=None)
+    fe_p.add_argument("--views", type=int, default=None)
+    fe_p.add_argument("--learning-rate", type=float, default=None)
+    fe_p.add_argument("--seed", type=int, default=None)
+    fe_p.add_argument("--checkpoint-dir", default=None)
+    fe_p.add_argument("--metrics-file", default=None)
+    fe_p.add_argument("--platform", default=None)
     vo_p = sub.add_parser(
         "vo-eval", help="full learned VO on synthetic sequences"
     )
@@ -158,6 +199,20 @@ def main(argv=None):
         "normal-equation precision floor; TPUs have no native f64)",
     )
     vo_p.add_argument("--platform", default=None)
+    vo_p.add_argument(
+        "--matches",
+        default="oracle",
+        choices=("oracle", "learned"),
+        help="window observations: oracle projections, or the trained "
+        "visual front-end (detector + attention matcher) run on rendered "
+        "frames (requires --frontend-checkpoint)",
+    )
+    vo_p.add_argument(
+        "--frontend-checkpoint",
+        default=None,
+        help="checkpoint directory from `fit-frontend`",
+    )
+    vo_p.add_argument("--image-size", type=int, default=64)
     args = parser.parse_args(argv)
 
     if args.command == "presets":
@@ -186,6 +241,135 @@ def main(argv=None):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+
+    if args.command == "eval-seq":
+        from davo_tpu.data.sequences import (
+            associate_timestamps,
+            load_kitti_calib,
+            load_sequence,
+            load_tum_intrinsics,
+        )
+        from davo_tpu.train.evaluation import (
+            absolute_trajectory_error,
+            camera_centers_from_poses,
+            relative_pose_error,
+        )
+
+        intrinsics = None
+        if args.intrinsics:
+            intrinsics = load_tum_intrinsics(args.intrinsics)
+        elif args.calib:
+            intrinsics = load_kitti_calib(args.calib)
+
+        if args.est:
+            # compare mode: estimate file vs ground-truth file
+            gt = load_sequence(args.gt, args.format)
+            est = load_sequence(args.est, args.format)
+            gt_poses, est_poses = gt.poses, est.poses
+            if (
+                args.format == "tum"
+                and gt.timestamps is not None
+                and est.timestamps is not None
+            ):
+                ia, ib = associate_timestamps(
+                    est.timestamps, gt.timestamps, max_dt=args.max_dt
+                )
+                if len(ia) == 0:
+                    print("no associated timestamp pairs", file=sys.stderr)
+                    return 1
+                est_poses, gt_poses = est.poses[ia], gt.poses[ib]
+            else:
+                k = min(gt_poses.shape[0], est_poses.shape[0])
+                gt_poses, est_poses = gt_poses[:k], est_poses[:k]
+            est_c = camera_centers_from_poses(
+                est_poses[:, 0:3], est_poses[:, 3:6]
+            )
+            gt_c = camera_centers_from_poses(gt_poses[:, 0:3], gt_poses[:, 3:6])
+            metrics = {
+                f"ate_{name}": value
+                for name, value in absolute_trajectory_error(est_c, gt_c).items()
+            }
+            metrics.update(
+                {
+                    f"rpe_{name}": value
+                    for name, value in relative_pose_error(
+                        est_poses, gt_poses, delta=args.rpe_delta
+                    ).items()
+                }
+            )
+            metrics["pairs"] = est_poses.shape[0]
+            print(json.dumps({k: float(v) for k, v in metrics.items()}))
+            return 0
+
+        # VO mode: run windowed VO along the file's trajectory
+        from davo_tpu.train.vo_eval import (
+            TrajectoryConfig,
+            evaluate_vo_sequence_file,
+        )
+
+        metrics = evaluate_vo_sequence_file(
+            args.gt,
+            format=args.format,
+            config=TrajectoryConfig(window=args.window),
+            key=jax.random.key(args.seed),
+            intrinsics=intrinsics,
+            max_frames=args.max_frames,
+            num_points=args.points,
+        )
+        print(json.dumps({k: float(v) for k, v in metrics.items()}))
+        return 0
+
+    if args.command == "fit-frontend":
+        from davo_tpu.train import FrontendExperiment, fit_frontend, save_checkpoint
+        from davo_tpu.train.metrics import MetricsLogger
+
+        fe_cfg = FrontendExperiment()
+        updates = {}
+        for cli_name, field in (
+            ("epochs", "epochs"),
+            ("batch_size", "batch_size"),
+            ("batches_per_epoch", "batches_per_epoch"),
+            ("image_size", "image_size"),
+            ("points", "num_points"),
+            ("views", "num_views"),
+            ("learning_rate", "learning_rate"),
+            ("seed", "seed"),
+        ):
+            value = getattr(args, cli_name, None)
+            if value is not None:
+                updates[field] = value
+        if "num_points" in updates:
+            updates.setdefault("num_select", updates["num_points"])
+        if updates.get("image_size"):
+            updates["render"] = dataclasses.replace(
+                fe_cfg.render, image_size=updates.pop("image_size")
+            )
+        if updates:
+            fe_cfg = dataclasses.replace(fe_cfg, **updates)
+        logger = MetricsLogger(args.metrics_file)
+        state, history = fit_frontend(fe_cfg, log_fn=logger)
+        if args.checkpoint_dir:
+            import os
+
+            path = save_checkpoint(
+                args.checkpoint_dir,
+                len(history["train"]),
+                {"params": state.params, "batch_stats": state.batch_stats},
+            )
+            arch = {
+                "num_select": fe_cfg.num_select,
+                "descriptor_channels": fe_cfg.descriptor_channels,
+                "embedding_size": fe_cfg.embedding_size,
+                "image_size": fe_cfg.render.image_size,
+            }
+            with open(
+                os.path.join(args.checkpoint_dir, "frontend_config.json"), "w"
+            ) as f:
+                json.dump(arch, f)
+            print(f"checkpoint: {path}")
+        final = history["val"][-1] if history["val"] else history["train"][-1]
+        print(json.dumps({"final": final}))
+        return 0
 
     if args.command == "vo-eval":
         import pickle
@@ -219,6 +403,46 @@ def main(argv=None):
         def guess_fn(pw, vw):
             return net.apply(variables, pw, vw)
 
+        frontend_fn = None
+        render_config = None
+        if args.matches == "learned":
+            import os
+
+            from davo_tpu.data.rendering import RenderConfig
+            from davo_tpu.models import VOFrontend
+            from davo_tpu.train import restore_checkpoint
+
+            if not args.frontend_checkpoint:
+                print(
+                    "--matches learned requires --frontend-checkpoint",
+                    file=sys.stderr,
+                )
+                return 2
+            arch_path = os.path.join(
+                args.frontend_checkpoint, "frontend_config.json"
+            )
+            arch = {}
+            if os.path.exists(arch_path):
+                with open(arch_path) as f:
+                    arch = json.load(f)
+            image_size = arch.pop("image_size", args.image_size)
+            render_config = RenderConfig(image_size=image_size)
+            frontend_net = VOFrontend(
+                num_select=arch.get("num_select", args.points),
+                descriptor_channels=arch.get("descriptor_channels", 64),
+                embedding_size=arch.get("embedding_size", 64),
+            )
+            fe_restored = restore_checkpoint(args.frontend_checkpoint)
+            fe_vars = {
+                "params": fe_restored["params"],
+                "batch_stats": fe_restored.get("batch_stats", {}),
+            }
+
+            @jax.jit
+            def frontend_fn(images):
+                out = frontend_net.apply(fe_vars, images)
+                return out.matches, out.match_visibility
+
         tcfg = TrajectoryConfig(
             num_frames=args.frames,
             num_points=args.points,
@@ -236,6 +460,8 @@ def main(argv=None):
                 host_polish=args.host_polish,
                 multistart=args.multistart,
                 stitch=args.stitch,
+                frontend_fn=frontend_fn,
+                render_config=render_config,
             )
             results.append({k: float(v) for k, v in ate.items()})
             print(json.dumps({"trial": trial, **results[-1]}), flush=True)

@@ -21,6 +21,7 @@ __all__ = [
     "camera_centers_from_poses",
     "umeyama_alignment",
     "absolute_trajectory_error",
+    "relative_pose_error",
     "intrinsics_error",
 ]
 
@@ -92,6 +93,60 @@ def absolute_trajectory_error(
         "mean": jnp.mean(err),
         "median": jnp.median(err),
         "max": jnp.max(err),
+    }
+
+
+@full_f32_matmuls
+def relative_pose_error(
+    estimated_poses: jax.Array,
+    true_poses: jax.Array,
+    delta: int = 1,
+) -> Dict[str, jax.Array]:
+    """RPE over frame pairs ``(i, i + delta)`` (the TUM benchmark metric).
+
+    For each pair, the error motion is
+    ``E_i = (Q_i^-1 Q_{i+d})^-1 (P_i^-1 P_{i+d})`` with ``Q`` ground-truth
+    and ``P`` estimated camera-to-world transforms; reported are the
+    translational RMSE/mean and the rotational angle RMSE/mean (radians).
+    Drift-local by construction — no global alignment is applied.
+
+    :param estimated_poses: ``(K, 6)`` world->camera ``[axis-angle, t]``.
+    :param true_poses: ``(K, 6)``.
+    """
+    if delta < 1 or delta >= estimated_poses.shape[0]:
+        raise ValueError(
+            f"delta must be in [1, K-1] (got {delta}, K="
+            f"{estimated_poses.shape[0]})"
+        )
+
+    def rel_motion(poses):
+        # camera-to-world: R_c2w = R^T, c = -R^T t
+        rot = so3_rotation_matrix(poses[:, 0:3])
+        c = -jnp.einsum("kji,kj->ki", rot, poses[:, 3:6])
+        r_c2w = jnp.transpose(rot, (0, 2, 1))
+        # motion i -> i+d in frame i: R_i^T-composed relative transform
+        r_rel = jnp.einsum(
+            "kji,kjl->kil", r_c2w[:-delta], r_c2w[delta:]
+        )  # R_i_c2w^T @ R_{i+d}_c2w
+        t_rel = jnp.einsum(
+            "kji,kj->ki", r_c2w[:-delta], c[delta:] - c[:-delta]
+        )
+        return r_rel, t_rel
+
+    r_est, t_est = rel_motion(estimated_poses)
+    r_true, t_true = rel_motion(true_poses)
+    r_err = jnp.einsum("kji,kjl->kil", r_true, r_est)
+    t_err = jnp.linalg.norm(t_est - t_true, axis=-1)
+    # rotation angle from the trace (clamped for roundoff)
+    cos_a = jnp.clip(
+        (jnp.trace(r_err, axis1=-2, axis2=-1) - 1.0) / 2.0, -1.0, 1.0
+    )
+    ang = jnp.arccos(cos_a)
+    return {
+        "trans_rmse": jnp.sqrt(jnp.mean(jnp.square(t_err))),
+        "trans_mean": jnp.mean(t_err),
+        "rot_rmse": jnp.sqrt(jnp.mean(jnp.square(ang))),
+        "rot_mean": jnp.mean(ang),
     }
 
 

@@ -43,6 +43,7 @@ from .evaluation import absolute_trajectory_error, camera_centers_from_poses
 __all__ = [
     "TrajectoryConfig",
     "generate_trajectory",
+    "render_trajectory_images",
     "solve_windowed_vo",
     "solve_windowed_vo_learned",
     "stitch_windows_global",
@@ -52,6 +53,8 @@ __all__ = [
     "refine_trajectory_host_f64",
     "evaluate_vo",
     "evaluate_learned_vo",
+    "observations_for_poses",
+    "evaluate_vo_sequence_file",
 ]
 
 
@@ -130,6 +133,35 @@ def generate_trajectory(key: jax.Array, config: TrajectoryConfig):
     return poses, points, pixels, visibility
 
 
+def render_trajectory_images(
+    pixels: jax.Array,
+    visibility: jax.Array,
+    key: jax.Array,
+    render_config=None,
+) -> jax.Array:
+    """Render the sequence's frames as images (shared point appearance).
+
+    The image-pipeline analogue of handing the solver oracle matches:
+    the same projections, but observed only through rendered blobs that
+    the visual front-end must detect and match.
+
+    :param pixels: ``(K, N, 2)`` oracle projections.
+    :param visibility: ``(K, N)``.
+    :return: ``(K, H, W, C)`` images.
+    """
+    from davo_tpu.data.rendering import (
+        RenderConfig,
+        render_views,
+        sample_appearance,
+    )
+
+    if render_config is None:
+        render_config = RenderConfig()
+    k_app, k_noise = jax.random.split(key)
+    appearance = sample_appearance(k_app, pixels.shape[1], render_config)
+    return render_views(pixels, visibility, appearance, render_config, k_noise)
+
+
 def _compose(base_pose: jax.Array, rel_pose: jax.Array) -> jax.Array:
     """Compose world->camera poses: ``rel`` is expressed in the frame of
     ``base``'s camera; returns the absolute world->camera pose."""
@@ -163,6 +195,7 @@ def solve_windowed_vo(
     visibility: jax.Array,
     config: TrajectoryConfig,
     key: jax.Array,
+    intrinsics: jax.Array | None = None,
 ) -> jax.Array:
     """Estimate the trajectory by chaining per-window bundle adjustments.
 
@@ -177,6 +210,8 @@ def solve_windowed_vo(
     w = config.window
     stride = w - 1
     num_windows = (kf - 1 + stride - 1) // stride
+    if intrinsics is None:
+        intrinsics = jnp.asarray([config.focal_length, 0.0, 0.0])
 
     # noisy priors: what an odometry front-end would hand the optimiser
     k1, k2 = jax.random.split(key)
@@ -202,7 +237,7 @@ def solve_windowed_vo(
         # initial window poses: priors composed into the anchor frame
         window_prior = _to_window_frame(prior_poses[idx], prior_poses[start])
         problem = BAProblem(
-            intrinsics=jnp.asarray([config.focal_length, 0.0, 0.0]),
+            intrinsics=intrinsics,
             poses=window_prior,
             points=window_points,
         )
@@ -394,6 +429,8 @@ def solve_windowed_vo_learned(
     visibility: jax.Array,
     config: TrajectoryConfig,
     stitch: str = "global",
+    images: jax.Array | None = None,
+    frontend_fn=None,
 ) -> jax.Array:
     """Full learned VO: estimate the trajectory from observations alone.
 
@@ -411,8 +448,15 @@ def solve_windowed_vo_learned(
 
     :param guess_fn: maps ``(pixels (1, M, N, 2), visibility (1, M, N))``
         to a flat calibration vector ``(1, P)``.
-    :param pixels: ``(K, N, 2)`` sequence observations.
+    :param pixels: ``(K, N, 2)`` sequence observations (oracle matches;
+        ignored when ``frontend_fn`` is given, except for shapes).
     :param visibility: ``(K, N)``.
+    :param images: ``(K, H, W, C)`` rendered frames — with
+        ``frontend_fn``, each window's observations come from the visual
+        front-end (detector + attention matcher) run on these images
+        instead of the oracle matches.
+    :param frontend_fn: maps ``images (1, M, H, W, C)`` to
+        ``(matches (1, M, N, 2), visibility (1, M, N))``.
     :return: ``(K, 6)`` estimated absolute poses (gauge: frame 0 identity,
         scale of the first window).
     """
@@ -439,11 +483,18 @@ def solve_windowed_vo_learned(
     if stitch not in ("chain", "global"):
         raise ValueError(f"unknown stitch mode {stitch!r}")
 
+    if (frontend_fn is None) != (images is None):
+        raise ValueError("images and frontend_fn must be given together")
+
     starts = _window_starts(kf, w, stride)
     window_poses = []
     for s in starts:
         idx = jnp.arange(s, s + w)
-        vec = guess_fn(pixels[idx][None], visibility[idx][None])[0]
+        if frontend_fn is not None:
+            w_pix, w_vis = frontend_fn(images[idx][None])
+        else:
+            w_pix, w_vis = pixels[idx][None], visibility[idx][None]
+        vec = guess_fn(w_pix, w_vis)[0]
         params = unpack_calibration_parameters(vec, w, pixels.shape[1])
         rel = jnp.concatenate(
             [params.camera_rotations[:, 0, :],
@@ -760,16 +811,41 @@ def evaluate_learned_vo(
     host_polish: bool = False,
     multistart: int = 0,
     stitch: str = "global",
+    frontend_fn=None,
+    render_config=None,
 ) -> Dict[str, jax.Array]:
     """Generate a sequence, run the full learned VO (optionally followed by
     global BA refinement — single-start or ``multistart`` scale-mode
-    hypotheses — and a float64 host polish), report aligned ATE."""
+    hypotheses — and a float64 host polish), report aligned ATE.
+
+    With ``frontend_fn`` the pipeline is fully image-based: the sequence
+    is rendered (:func:`render_trajectory_images`), every window's
+    observations come from the visual front-end, and the refinement stage
+    consumes *learned global tracks* (the front-end applied to the whole
+    sequence as one window, anchor = frame 0) — the oracle projections
+    never reach the solver."""
     # scene generation keeps the caller's key unchanged so results stay
     # comparable with the single-start eval path; hypotheses fold in
     k_hyp = jax.random.fold_in(key, 7)
     poses, _, pixels, visibility = generate_trajectory(key, config)
+    images = None
+    if frontend_fn is not None:
+        images = render_trajectory_images(
+            pixels, visibility, jax.random.fold_in(key, 11), render_config
+        )
+        # learned global tracks replace the oracle observations everywhere
+        # downstream (refinement, multistart scoring)
+        tracks, track_vis = frontend_fn(images[None])
+        pixels = tracks[0]
+        visibility = track_vis[0]
     estimates = solve_windowed_vo_learned(
-        guess_fn, pixels, visibility, config, stitch=stitch
+        guess_fn,
+        pixels,
+        visibility,
+        config,
+        stitch=stitch,
+        images=images,
+        frontend_fn=frontend_fn,
     )
     intrinsics = jnp.asarray([config.focal_length, 0.0, 0.0])
     if multistart > 0:
@@ -798,6 +874,127 @@ def evaluate_learned_vo(
     est_centres = camera_centers_from_poses(estimates[:, 0:3], estimates[:, 3:6])
     true_centres = camera_centers_from_poses(poses[:, 0:3], poses[:, 3:6])
     return absolute_trajectory_error(est_centres, true_centres)
+
+
+@_full_f32_matmuls
+def observations_for_poses(
+    poses: jax.Array,
+    intrinsics: jax.Array,
+    key: jax.Array,
+    num_points: int = 32,
+    depth_scale: float = 10.0,
+    pixel_noise: float = 0.0,
+):
+    """Synthesize landmark observations along an arbitrary camera path.
+
+    Real trajectory files carry no tracked features; this places SLAM-like
+    landmarks ahead of evenly-spaced anchor frames (each point sits in
+    front of *some* camera, so every window of the sequence sees the
+    landmarks anchored near it — forward-motion KITTI paths work as well
+    as orbits) and projects them through all frames.
+
+    :param poses: ``(K, 6)`` world->camera.
+    :param intrinsics: ``(3,)`` ``(f, cx, cy)``.
+    :return: ``(points (N, 3), pixels (K, N, 2), visibility (K, N))``.
+    """
+    kf = poses.shape[0]
+    rot = so3_rotation_matrix(poses[:, 0:3])  # (K, 3, 3)
+    centres = -jnp.einsum("kji,kj->ki", rot, poses[:, 3:6])
+    forward = rot[:, 2, :]  # camera z-axis in world coords
+    step = jnp.median(
+        jnp.linalg.norm(centres[1:] - centres[:-1], axis=-1)
+    )
+    depth = depth_scale * jnp.maximum(step, 1e-3)
+    anchor = jnp.round(
+        jnp.linspace(0.0, kf - 1.0, num_points)
+    ).astype(jnp.int32)
+    k_d, k_s = jax.random.split(key)
+    depths = depth * jax.random.uniform(
+        k_d, (num_points, 1), poses.dtype, 0.7, 1.6
+    )
+    scatter = 0.35 * depth * jax.random.normal(
+        k_s, (num_points, 3), poses.dtype
+    )
+    points = centres[anchor] + forward[anchor] * depths + scatter
+
+    rel = jnp.einsum("kij,nj->kni", rot, points) + poses[:, None, 3:6]
+    z = jnp.maximum(rel[..., 2], 1e-8)
+    f, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2]
+    u = f * rel[..., 0] / z + cx
+    v = f * rel[..., 1] / z + cy
+    pixels = jnp.stack([u, v], axis=-1)
+    if pixel_noise > 0.0:
+        pixels = pixels + pixel_noise * jax.random.normal(
+            jax.random.fold_in(key, 2), pixels.shape, poses.dtype
+        )
+    visibility = (
+        (jnp.abs(u) < 1.0)
+        & (jnp.abs(v) < 1.0)
+        & (rel[..., 2] > 0.05 * depth)
+    )
+    return points, pixels, visibility
+
+
+def evaluate_vo_sequence_file(
+    path: str,
+    format: str = "tum",
+    config: TrajectoryConfig = TrajectoryConfig(),
+    key: jax.Array | None = None,
+    intrinsics: jax.Array | None = None,
+    max_frames: int | None = None,
+    num_points: int | None = None,
+) -> Dict[str, jax.Array]:
+    """Windowed VO along a trajectory **loaded from a file** (TUM/KITTI).
+
+    The ground-truth motion comes from the file; landmark observations are
+    synthesized along it (:func:`observations_for_poses` — no real images
+    are shipped with trajectory benchmarks).  Reports aligned ATE plus
+    drift-local RPE at delta = 1 frame.
+    """
+    from davo_tpu.data.sequences import load_sequence
+    from .evaluation import relative_pose_error
+
+    if key is None:
+        key = jax.random.key(0)
+    seq = load_sequence(path, format)
+    poses = seq.poses
+    if max_frames is not None:
+        poses = poses[:max_frames]
+    kf = poses.shape[0]
+    if kf < config.window:
+        raise ValueError(
+            f"sequence has {kf} frames < window {config.window}"
+        )
+    if intrinsics is None:
+        intrinsics = (
+            seq.intrinsics
+            if seq.intrinsics is not None
+            else jnp.asarray([config.focal_length, 0.0, 0.0], poses.dtype)
+        )
+    n = num_points if num_points is not None else config.num_points
+    k_obs, k_solve = jax.random.split(key)
+    points, pixels, visibility = observations_for_poses(
+        poses, intrinsics, k_obs, num_points=n
+    )
+    seq_config = dataclasses.replace(
+        config, num_frames=kf, num_points=n,
+        focal_length=float(intrinsics[0]),
+    )
+    estimates = solve_windowed_vo(
+        poses, points, pixels, visibility, seq_config, k_solve,
+        intrinsics=jnp.asarray(intrinsics, poses.dtype),
+    )
+    est_centres = camera_centers_from_poses(estimates[:, 0:3], estimates[:, 3:6])
+    true_centres = camera_centers_from_poses(poses[:, 0:3], poses[:, 3:6])
+    metrics = absolute_trajectory_error(est_centres, true_centres)
+    metrics.update(
+        {
+            f"rpe_{name}": value
+            for name, value in relative_pose_error(estimates, poses).items()
+        }
+    )
+    metrics["num_frames"] = jnp.asarray(kf)
+    return metrics
 
 
 def evaluate_vo(
