@@ -150,6 +150,23 @@ def main(argv=None):
     fe_p.add_argument("--checkpoint-dir", default=None)
     fe_p.add_argument("--metrics-file", default=None)
     fe_p.add_argument("--platform", default=None)
+    ls_p = sub.add_parser(
+        "fit-learned-solver",
+        help="train an MLP/transformer learned solver on the calibration "
+        "objective and compare against BFGS at equal step budget",
+    )
+    ls_p.add_argument("--solver-type", default="mlp", choices=("mlp", "transformer"))
+    ls_p.add_argument("--steps", type=int, default=None, help="solver steps")
+    ls_p.add_argument("--epochs", type=int, default=None)
+    ls_p.add_argument("--batch-size", type=int, default=None)
+    ls_p.add_argument("--batches-per-epoch", type=int, default=None)
+    ls_p.add_argument("--hidden-size", type=int, default=None)
+    ls_p.add_argument("--learning-rate", type=float, default=None)
+    ls_p.add_argument("--start-noise", type=float, default=None)
+    ls_p.add_argument("--no-recurrent", action="store_true")
+    ls_p.add_argument("--seed", type=int, default=None)
+    ls_p.add_argument("--metrics-file", default=None)
+    ls_p.add_argument("--platform", default=None)
     vo_p = sub.add_parser(
         "vo-eval", help="full learned VO on synthetic sequences"
     )
@@ -317,6 +334,41 @@ def main(argv=None):
             num_points=args.points,
         )
         print(json.dumps({k: float(v) for k, v in metrics.items()}))
+        return 0
+
+    if args.command == "fit-learned-solver":
+        from davo_tpu.train import (
+            LearnedSolverExperiment,
+            compare_with_bfgs,
+            fit_learned_solver,
+        )
+        from davo_tpu.train.metrics import MetricsLogger
+
+        ls_cfg = LearnedSolverExperiment(solver_type=args.solver_type)
+        updates = {}
+        for cli_name, field in (
+            ("steps", "num_steps"),
+            ("epochs", "epochs"),
+            ("batch_size", "batch_size"),
+            ("batches_per_epoch", "batches_per_epoch"),
+            ("hidden_size", "hidden_size"),
+            ("learning_rate", "learning_rate"),
+            ("start_noise", "start_noise"),
+            ("seed", "seed"),
+        ):
+            value = getattr(args, cli_name, None)
+            if value is not None:
+                updates[field] = value
+        if args.no_recurrent:
+            updates["recurrent"] = False
+        if updates:
+            ls_cfg = dataclasses.replace(ls_cfg, **updates)
+        logger = MetricsLogger(args.metrics_file)
+        network, state, history = fit_learned_solver(ls_cfg, log_fn=logger)
+        table = compare_with_bfgs(
+            network, state, ls_cfg, jax.random.key(ls_cfg.seed + 1)
+        )
+        print(json.dumps({"comparison": table}))
         return 0
 
     if args.command == "fit-frontend":

@@ -19,6 +19,7 @@ from .detector import (
     UpscaleWithSkipModule,
     FeatureDetectionModule,
 )
+from .vo_frontend import VOFrontend, FrontendOutput, select_matches
 from .learned_solvers import (
     MLPSolverStep,
     MLPSolver,
@@ -48,6 +49,9 @@ __all__ = [
     "UpscaleModule",
     "UpscaleWithSkipModule",
     "FeatureDetectionModule",
+    "VOFrontend",
+    "FrontendOutput",
+    "select_matches",
     "MLPSolverStep",
     "MLPSolver",
     "TransformerSolverStep",

@@ -86,6 +86,12 @@ class FeatureDetectionModule(nn.Module):
     """
 
     descriptor_channels: int = 64
+    # feature coordinates are parametrised as (cell centre + bounded
+    # offset): each coarse location predicts an offset of at most this
+    # many cell widths — regressing absolute [-1, 1] coordinates from a
+    # conv is much harder to learn (the reference's raw 2-channel output
+    # never trained; this is the working realisation's choice)
+    max_offset_cells: float = 1.5
 
     @nn.compact
     def __call__(self, image: jax.Array, *, training: bool = False) -> FeaturePoints:
@@ -115,6 +121,33 @@ class FeatureDetectionModule(nn.Module):
         x = UpscaleWithSkipModule(name="up2")(x, skip2)
         x = UpscaleWithSkipModule(name="up3")(x, skip1)
 
-        points = points_map.reshape(b, -1, 2)
+        # point/score head on the decoder output (+ the encoder's raw
+        # coordinate channels, the reference's design intent): 2 offset
+        # channels + 1 detection-confidence logit per coarse cell
+        hc, wc = x.shape[1], x.shape[2]
+        head = nn.Conv(3, (3, 3), name="point_head")(
+            jnp.concatenate([points_map, x], axis=-1)
+        )
+        cell_v = jnp.linspace(-1.0, 1.0, hc + 1, dtype=image.dtype)
+        cell_u = jnp.linspace(-1.0, 1.0, wc + 1, dtype=image.dtype)
+        cv = 0.5 * (cell_v[:-1] + cell_v[1:])
+        cu = 0.5 * (cell_u[:-1] + cell_u[1:])
+        cvv, cuu = jnp.meshgrid(cv, cu, indexing="ij")
+        centres = jnp.stack([cuu, cvv], axis=-1)[None]  # (1, hc, wc, 2)
+        max_off = jnp.asarray(
+            [
+                self.max_offset_cells * 2.0 / wc,
+                self.max_offset_cells * 2.0 / hc,
+            ],
+            image.dtype,
+        )
+        points_grid = centres + jnp.tanh(head[..., 0:2]) * max_off
+        scores = head[..., 2]
+
+        points = points_grid.reshape(b, -1, 2)
         descriptors = x.reshape(b, -1, d)
-        return FeaturePoints(points=points, descriptors=descriptors)
+        return FeaturePoints(
+            points=points,
+            descriptors=descriptors,
+            scores=scores.reshape(b, -1),
+        )

@@ -51,10 +51,11 @@ class FeatureMatchModule(nn.Module):
         embed = self.embedding_size or max(self.descriptor_size, 1)
         query = nn.Dense(embed, name="query")(features_a.descriptors)
         key = nn.Dense(embed, name="key")(features_b.descriptors)
-        use_dropout = training and self.dropout > 0.0
-        if not use_dropout:
+        if not training:
             # inference path: blocked flash-attention Pallas kernel on TPU
-            # (scores never materialise in HBM for large feature counts)
+            # (scores never materialise in HBM for large feature counts);
+            # the kernel is forward-only, so the training path below keeps
+            # the differentiable jnp formulation
             from davo_tpu.ops import match_attention
 
             matched = match_attention(query, key, features_b.points)
@@ -63,10 +64,11 @@ class FeatureMatchModule(nn.Module):
             jnp.asarray(embed, dtype=query.dtype)
         )
         weights = jax.nn.softmax(logits, axis=-1)
-        keep = jax.random.bernoulli(
-            self.make_rng("dropout"), 1.0 - self.dropout, weights.shape
-        )
-        weights = weights * keep / (1.0 - self.dropout)
+        if self.dropout > 0.0:
+            keep = jax.random.bernoulli(
+                self.make_rng("dropout"), 1.0 - self.dropout, weights.shape
+            )
+            weights = weights * keep / (1.0 - self.dropout)
         matched = jnp.einsum("...qk,...kc->...qc", weights, features_b.points)
         return MatchedPoints(points_a=features_a.points, points_b=matched)
 

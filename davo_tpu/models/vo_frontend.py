@@ -1,0 +1,135 @@
+"""Visual front-end: images -> fixed-N matched coordinates.
+
+Closes the reference's intended pipeline (never wired up there: the
+detector is WIP/broken, the matcher untrained —
+``networks/modules/feature_detection_module.py:66-88``,
+``feature_match_module.py:34-39``, composed only abstractly by
+``networks/guess_and_solver_model.py:8-22``): a conv feature detector runs
+on every view of a keyframe window, the first view's strongest ``N``
+features are selected (fixed N — static shapes under jit), and the
+attention matcher regresses each selected feature's coordinates in every
+other view.  The output has exactly the ``(B, M, N, 2)`` observation
+schema the calibration / window-BA solvers consume, so learned matches
+are a drop-in replacement for oracle matches.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from davo_tpu.types import FeaturePoints
+from .detector import FeatureDetectionModule
+from .matcher import FeatureMatchModule
+
+__all__ = ["FrontendOutput", "VOFrontend", "select_matches"]
+
+
+class FrontendOutput(NamedTuple):
+    """Everything the training losses and the solver need.
+
+    * ``points``: ``(B, M, K, 2)`` all detected feature coordinates.
+    * ``scores``: ``(B, M, K)`` detection-confidence logits.
+    * ``matched``: ``(B, M, K, 2)`` for each of the anchor view's K
+      features, its (regressed) coordinates in view m; view 0 is the
+      anchor's own detected coordinates.
+    * ``matches``: ``(B, M, N, 2)`` the top-N-by-anchor-score subset —
+      the solver-facing observations.
+    * ``match_visibility``: ``(B, M, N)`` in-bounds flags of ``matches``.
+    """
+
+    points: jax.Array
+    scores: jax.Array
+    matched: jax.Array
+    matches: jax.Array
+    match_visibility: jax.Array
+
+
+def select_matches(
+    matched: jax.Array, anchor_scores: jax.Array, num_select: int
+):
+    """Top-``num_select`` anchor features by score, with in-bounds flags.
+
+    :param matched: ``(B, M, K, 2)`` per-view coordinates of the anchor's
+        K features.
+    :param anchor_scores: ``(B, K)``.
+    :return: ``(matches (B, M, N, 2), visibility (B, M, N))``.
+    """
+    _, idx = jax.lax.top_k(anchor_scores, num_select)  # (B, N)
+    matches = jnp.take_along_axis(
+        matched, idx[:, None, :, None], axis=2
+    )  # (B, M, N, 2)
+    visibility = (jnp.abs(matches[..., 0]) < 1.0) & (
+        jnp.abs(matches[..., 1]) < 1.0
+    )
+    return matches, visibility
+
+
+class VOFrontend(nn.Module):
+    """Detector + attention matcher over a keyframe window.
+
+    :param num_select: N — matches handed to the solver per window.
+    :param descriptor_channels: detector descriptor width.
+    :param embedding_size: matcher key/query projection width.
+    """
+
+    num_select: int = 8
+    descriptor_channels: int = 64
+    embedding_size: int = 64
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self, images: jax.Array, *, training: bool = False
+    ) -> FrontendOutput:
+        """
+        :param images: ``(B, M, H, W, C)`` window views.
+        :return: :class:`FrontendOutput`.
+        """
+        b, m, h, w, c = images.shape
+        feats = FeatureDetectionModule(
+            descriptor_channels=self.descriptor_channels, name="detector"
+        )(images.reshape(b * m, h, w, c), training=training)
+        k = feats.points.shape[1]
+        points = feats.points.reshape(b, m, k, 2)
+        descriptors = feats.descriptors.reshape(b, m, k, -1)
+        scores = feats.scores.reshape(b, m, k)
+
+        matcher = FeatureMatchModule(
+            descriptor_size=self.descriptor_channels,
+            embedding_size=self.embedding_size,
+            dropout=self.dropout,
+            name="matcher",
+        )
+        # one matcher call over all (M - 1) target views: the anchor's
+        # features are tiled across the view axis folded into the batch
+        anchor_desc = jnp.broadcast_to(
+            descriptors[:, 0:1], (b, m - 1, k, descriptors.shape[-1])
+        ).reshape(b * (m - 1), k, -1)
+        anchor_pts = jnp.broadcast_to(
+            points[:, 0:1], (b, m - 1, k, 2)
+        ).reshape(b * (m - 1), k, 2)
+        target = FeaturePoints(
+            points=points[:, 1:].reshape(b * (m - 1), k, 2),
+            descriptors=descriptors[:, 1:].reshape(b * (m - 1), k, -1),
+        )
+        matched_rest = matcher(
+            FeaturePoints(points=anchor_pts, descriptors=anchor_desc),
+            target,
+            training=training,
+        ).points_b.reshape(b, m - 1, k, 2)
+        matched = jnp.concatenate([points[:, 0:1], matched_rest], axis=1)
+
+        matches, visibility = select_matches(
+            matched, scores[:, 0], self.num_select
+        )
+        return FrontendOutput(
+            points=points,
+            scores=scores,
+            matched=matched,
+            matches=matches,
+            match_visibility=visibility,
+        )

@@ -14,6 +14,19 @@ from .optimisation import (
     make_optimisation_train_step,
     fit_optimisation,
 )
+from .frontend import (
+    FrontendExperiment,
+    FrontendTrainState,
+    create_frontend_state,
+    make_frontend_train_step,
+    fit_frontend,
+)
+from .learned_solver import (
+    LearnedSolverExperiment,
+    true_calibration_vector,
+    fit_learned_solver,
+    compare_with_bfgs,
+)
 from .presets import PRESETS, get_preset
 from .config_io import load_config_yaml, apply_config_mapping
 from .checkpoint import save_checkpoint, restore_checkpoint, latest_step
@@ -46,6 +59,15 @@ __all__ = [
     "create_optimisation_state",
     "make_optimisation_train_step",
     "fit_optimisation",
+    "FrontendExperiment",
+    "FrontendTrainState",
+    "create_frontend_state",
+    "make_frontend_train_step",
+    "fit_frontend",
+    "LearnedSolverExperiment",
+    "true_calibration_vector",
+    "fit_learned_solver",
+    "compare_with_bfgs",
     "PRESETS",
     "get_preset",
     "save_checkpoint",

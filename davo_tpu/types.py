@@ -41,10 +41,17 @@ class CameraViewsAndPoints(NamedTuple):
 
 
 class FeaturePoints(NamedTuple):
-    """Detected feature locations + descriptors from an image."""
+    """Detected feature locations + descriptors from an image.
+
+    ``scores`` (optional) are detection-confidence logits used to select
+    the strongest features for the solver (the reference's detector
+    design stops at points+descriptors; the score head is the working
+    realisation's addition that makes fixed-N selection possible under
+    jit)."""
 
     points: jax.Array  # (B, K, 2)
     descriptors: jax.Array  # (B, K, D)
+    scores: Optional[jax.Array] = None  # (B, K) logits
 
 
 class MatchedPoints(NamedTuple):
