@@ -36,16 +36,36 @@ def initialize_distributed(
     With no arguments, auto-detects the cluster environment (TPU pod
     metadata / SLURM / GKE); a no-op when already initialised or when
     running single-process.
+
+    Error contract: when the caller passes explicit cluster coordinates,
+    a failure is a real misconfiguration and **raises**; only the
+    implicit auto-detect path treats failure as "no cluster here" (and
+    says so in a warning rather than silently running single-process).
     """
+    explicit = any(
+        v is not None
+        for v in (coordinator_address, num_processes, process_id)
+    )
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
-        # already initialised, or single-process with no cluster env
-        pass
+    except (RuntimeError, ValueError) as exc:
+        if explicit:
+            raise RuntimeError(
+                "jax.distributed.initialize failed for the explicitly "
+                f"configured cluster ({coordinator_address=}, "
+                f"{num_processes=}, {process_id=})"
+            ) from exc
+        import warnings
+
+        warnings.warn(
+            "multi-host auto-detection found no cluster "
+            f"({type(exc).__name__}: {exc}); continuing single-process",
+            stacklevel=2,
+        )
     return jax.process_index()
 
 
