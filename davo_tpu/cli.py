@@ -34,12 +34,21 @@ def _add_common(p):
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--metrics-file", default=None, help="JSONL metrics log")
+    p.add_argument(
+        "--tensorboard-dir", default=None, help="TensorBoard event dir"
+    )
     p.add_argument("--platform", default=None, help="force a jax platform (cpu/tpu)")
     p.add_argument("--head", default=None, help="guess head: mlp | transformer")
     p.add_argument("--learning-rate", type=float, default=None)
     p.add_argument("--hidden-size", type=int, default=None)
     p.add_argument("--transformer-layers", type=int, default=None)
     p.add_argument("--transformer-heads", type=int, default=None)
+    p.add_argument(
+        "--guess-tokens",
+        type=int,
+        default=None,
+        help="transformer-head readout tokens (winner-take-all multi-guess)",
+    )
     p.add_argument(
         "--solver",
         choices=("bfgs", "lbfgs"),
@@ -63,6 +72,7 @@ def _apply_overrides(config, args):
         "hidden_size",
         "transformer_layers",
         "transformer_heads",
+        "guess_tokens",
     ):
         value = getattr(args, field, None)
         if value is not None and hasattr(config, field):
@@ -149,6 +159,7 @@ def main(argv=None):
     fe_p.add_argument("--seed", type=int, default=None)
     fe_p.add_argument("--checkpoint-dir", default=None)
     fe_p.add_argument("--metrics-file", default=None)
+    fe_p.add_argument("--tensorboard-dir", default=None)
     fe_p.add_argument("--platform", default=None)
     ls_p = sub.add_parser(
         "fit-learned-solver",
@@ -166,6 +177,7 @@ def main(argv=None):
     ls_p.add_argument("--no-recurrent", action="store_true")
     ls_p.add_argument("--seed", type=int, default=None)
     ls_p.add_argument("--metrics-file", default=None)
+    ls_p.add_argument("--tensorboard-dir", default=None)
     ls_p.add_argument("--platform", default=None)
     vo_p = sub.add_parser(
         "vo-eval", help="full learned VO on synthetic sequences"
@@ -363,7 +375,9 @@ def main(argv=None):
             updates["recurrent"] = False
         if updates:
             ls_cfg = dataclasses.replace(ls_cfg, **updates)
-        logger = MetricsLogger(args.metrics_file)
+        logger = MetricsLogger(
+        args.metrics_file, tensorboard_dir=getattr(args, "tensorboard_dir", None)
+    )
         network, state, history = fit_learned_solver(ls_cfg, log_fn=logger)
         table = compare_with_bfgs(
             network, state, ls_cfg, jax.random.key(ls_cfg.seed + 1)
@@ -398,7 +412,9 @@ def main(argv=None):
             )
         if updates:
             fe_cfg = dataclasses.replace(fe_cfg, **updates)
-        logger = MetricsLogger(args.metrics_file)
+        logger = MetricsLogger(
+        args.metrics_file, tensorboard_dir=getattr(args, "tensorboard_dir", None)
+    )
         state, history = fit_frontend(fe_cfg, log_fn=logger)
         if args.checkpoint_dir:
             import os
@@ -537,7 +553,9 @@ def main(argv=None):
     else:
         config = get_preset(args.preset)
     config = _apply_overrides(config, args)
-    logger = MetricsLogger(args.metrics_file)
+    logger = MetricsLogger(
+        args.metrics_file, tensorboard_dir=getattr(args, "tensorboard_dir", None)
+    )
 
     if not isinstance(config, CalibrationExperiment):
         # gen-1 optimisation harness presets

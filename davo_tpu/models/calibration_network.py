@@ -57,11 +57,17 @@ class CalibrationMLPHead(nn.Module):
 class CalibrationTransformerHead(nn.Module):
     """Attention guess head: one token per (view, point) observation with
     learned view/point embeddings and a visibility gate, pre-LN encoder
-    blocks, and a readout token regressing the parameter vector.
+    blocks, and readout token(s) regressing the parameter vector.
 
     A per-observation tokenisation respects the problem's structure (the
     flattened-MLP head must rediscover which inputs share a point/view);
     flash attention serves the blocks on TPU for large M*N.
+
+    With ``num_tokens > 1``, the first E output tokens become E parallel
+    estimates — the reference's transformer-guess idea
+    (``initial_guess/pinhole_camera_model_transformer_guess.py:89-100``),
+    here trained with a winner-take-all loss so the tokens specialise
+    into diverse restart proposals (see ``train/calibration.py``).
     """
 
     num_outputs: int
@@ -70,6 +76,7 @@ class CalibrationTransformerHead(nn.Module):
     embed_dim: int = 128
     num_layers: int = 3
     num_heads: int = 4
+    num_tokens: int = 1
 
     @nn.compact
     def __call__(
@@ -79,8 +86,10 @@ class CalibrationTransformerHead(nn.Module):
         *,
         training: bool = False,
     ) -> jax.Array:
+        """:return: ``(B, P)``, or ``(B, E, P)`` when ``num_tokens > 1``."""
         b = projected_points.shape[0]
         m, n, d = self.num_views, self.num_points, self.embed_dim
+        e = self.num_tokens
         tokens = nn.Dense(d, name="pixel_embed")(projected_points)  # (B,M,N,d)
         view_embed = self.param(
             "view_embedding", nn.initializers.normal(0.02), (m, 1, d)
@@ -92,7 +101,7 @@ class CalibrationTransformerHead(nn.Module):
         tokens = (tokens + view_embed + point_embed) * vis
         tokens = tokens.reshape(b, m * n, d)
         readout = self.param(
-            "readout_token", nn.initializers.normal(0.02), (1, d)
+            "readout_token", nn.initializers.normal(0.02), (e, d)
         )
         tokens = jnp.concatenate(
             [jnp.broadcast_to(readout, (b,) + readout.shape), tokens], axis=1
@@ -109,8 +118,9 @@ class CalibrationTransformerHead(nn.Module):
             x = nn.gelu(x)
             x = nn.Dense(d, name=f"mlp_out_{i}")(x)
             tokens = tokens + x
-        pooled = nn.LayerNorm(name="ln_out")(tokens[:, 0])
-        return nn.Dense(self.num_outputs, name="head")(pooled)
+        pooled = nn.LayerNorm(name="ln_out")(tokens[:, 0:e])
+        out = nn.Dense(self.num_outputs, name="head")(pooled)  # (B, E, P)
+        return out[:, 0] if e == 1 else out
 
 
 def permutation_restart_guesses(
@@ -193,7 +203,19 @@ class CalibrationNetwork(nn.Module):
     #                 encodings / flattened MLP input), so permutations
     #                 yield diverse yet *informed* starts, unlike blind
     #                 noise.  Restart 0 is always the raw guess.
+    # "tokens"      — the transformer head's E readout tokens ARE the
+    #                 proposals (requires guess_tokens > 1; the head is
+    #                 trained winner-take-all so tokens specialise into
+    #                 diverse starts).  Extra restarts beyond the token
+    #                 count fall back to noise around token 0.
     restart_proposals: str = "noise"
+    # Number of readout tokens of the transformer head (E parallel guess
+    # estimates, reference pinhole_camera_model_transformer_guess.py:89-100).
+    # With > 1, the TRAINING forward returns the raw (B, E, P) token
+    # guesses (no in-training solve — the winner-take-all supervised loss
+    # in train/calibration.py consumes all tokens); eval solves whichever
+    # restart proposals are configured.
+    guess_tokens: int = 1
     # Restart selection criterion: "error" = raw reprojection error (the
     # reference-style choice), "basin" = reprojection error + plausibility
     # penalties (davo_tpu.camera.basin_score) — raw error favours spurious
@@ -234,6 +256,11 @@ class CalibrationNetwork(nn.Module):
         hidden = self.hidden_size if self.hidden_size > 0 else 4 * num_inputs
 
         batch = true_projected_points.shape[0]
+        if self.guess_tokens > 1 and self.head != "transformer":
+            raise ValueError(
+                "guess_tokens > 1 requires the transformer head "
+                f"(got head={self.head!r})"
+            )
         if self.head == "transformer":
             head_module = CalibrationTransformerHead(
                 num_outputs=num_parameters,
@@ -242,6 +269,7 @@ class CalibrationNetwork(nn.Module):
                 embed_dim=hidden if self.hidden_size > 0 else 128,
                 num_layers=self.transformer_layers,
                 num_heads=self.transformer_heads,
+                num_tokens=self.guess_tokens,
                 name="initial_estimator",
             )
 
@@ -263,6 +291,11 @@ class CalibrationNetwork(nn.Module):
         else:
             raise ValueError(f"Unknown head: {self.head!r}")
         initial_guess = apply_head(true_projected_points, visibility_mask)
+        multi_token = self.guess_tokens > 1
+        token_guesses = None
+        if multi_token:
+            token_guesses = initial_guess  # (B, E, P)
+            initial_guess = token_guesses[:, 0]
 
         visibility = visibility_mask.astype(initial_guess.dtype)
 
@@ -270,6 +303,21 @@ class CalibrationNetwork(nn.Module):
             return calibration_error(
                 parameters, true_projected_points, visibility
             )
+
+        def multi_error(parameters):
+            return calibration_error(
+                parameters,
+                true_projected_points[:, None],
+                visibility[:, None],
+            )
+
+        if training and multi_token:
+            # multi-token heads train purely supervised winner-take-all on
+            # the raw token guesses (train/calibration.py) — no in-training
+            # solve (matching the curriculum recipe's training_iterations=0)
+            if return_error:
+                return token_guesses, multi_error(token_guesses)
+            return token_guesses
 
         drop_key = None
         if training and self.solver.drop_path_p > 0.0:
@@ -293,7 +341,28 @@ class CalibrationNetwork(nn.Module):
                 restart_key = self.make_rng("restarts")
             else:
                 restart_key = jax.random.key(0)
-            if self.restart_proposals == "permutation":
+            if self.restart_proposals == "tokens":
+                if not multi_token:
+                    raise ValueError(
+                        "restart_proposals='tokens' requires guess_tokens > 1"
+                    )
+                e = min(restarts, self.guess_tokens)
+                starts = token_guesses[:, :e]
+                if restarts > e:
+                    extra = initial_guess[
+                        :, None, :
+                    ] + self.restart_noise * jax.random.normal(
+                        restart_key,
+                        (batch, restarts - e, num_parameters),
+                        dtype=initial_guess.dtype,
+                    )
+                    starts = jnp.concatenate([starts, extra], axis=1)
+            elif self.restart_proposals == "permutation":
+                if multi_token:
+                    raise ValueError(
+                        "restart_proposals='permutation' is incompatible "
+                        "with guess_tokens > 1 (use 'tokens')"
+                    )
                 starts = permutation_restart_guesses(
                     apply_head,
                     true_projected_points,
@@ -319,13 +388,6 @@ class CalibrationNetwork(nn.Module):
             else:
                 raise ValueError(
                     f"Unknown restart_proposals: {self.restart_proposals!r}"
-                )
-
-            def multi_error(parameters):
-                return calibration_error(
-                    parameters,
-                    true_projected_points[:, None],
-                    visibility[:, None],
                 )
 
             # Solve on the flattened (B*E, P) batch: independent elements,

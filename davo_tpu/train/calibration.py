@@ -91,6 +91,10 @@ class CalibrationExperiment:
     head: str = "mlp"
     transformer_layers: int = 3
     transformer_heads: int = 4
+    # Readout tokens of the transformer head (E parallel guesses, trained
+    # winner-take-all; eval uses them as restart proposals with
+    # restart_proposals="tokens").
+    guess_tokens: int = 1
     # Training-scene distribution: "scenes" (reference-style camera
     # clusters) or "vo_windows" (orbit-arc keyframe windows matching the
     # windowed-VO geometry, davo_tpu.data.vo_windows).
@@ -159,6 +163,7 @@ class CalibrationExperiment:
             head=self.head,
             transformer_layers=self.transformer_layers,
             transformer_heads=self.transformer_heads,
+            guess_tokens=self.guess_tokens,
         )
 
 
@@ -221,6 +226,70 @@ def _structure_targets(batch: CameraViewsAndPoints):
     return wp / scale, tr / scale
 
 
+def _winner_take_all_loss(
+    network: CalibrationNetwork,
+    predictions: jax.Array,
+    error: jax.Array,
+    batch: CameraViewsAndPoints,
+    structure_weight: float,
+):
+    """Per-element min-over-tokens supervised loss for multi-token heads.
+
+    ``predictions``: ``(B, E, P)`` raw token guesses; ``error``: ``(B, E)``
+    per-token objective values.  The loss is the mean over elements of the
+    best token's total; reported metrics are the same names as the
+    single-guess path, evaluated at each element's winning token, plus the
+    token-usage entropy (collapse diagnostic: ~log E when all tokens win
+    equally often, 0 when one token always wins).
+    """
+    b, e, _ = predictions.shape
+    unpacked = unpack_calibration_parameters(
+        predictions, network.num_views, network.num_points
+    )
+    pred_intrinsics = unpacked.intrinsics.reshape(b, e, 3)
+    pred_focal = jax.nn.elu(pred_intrinsics[..., 0]) + 1.0
+    true_intrinsics = batch.camera_intrinsics[:, None, :]  # (B, 1, 3)
+    focal_se = jnp.square(pred_focal - true_intrinsics[..., 0])
+    cx_se = jnp.square(pred_intrinsics[..., 1] - true_intrinsics[..., 1])
+    cy_se = jnp.square(pred_intrinsics[..., 2] - true_intrinsics[..., 2])
+    total = focal_se + cx_se + cy_se + error  # (B, E)
+    components = {
+        "focal_length_loss": focal_se,
+        "cx_loss": cx_se,
+        "cy_loss": cy_se,
+        "mean_error": error,
+    }
+    if structure_weight > 0.0:
+        true_points, true_trans = _structure_targets(batch)
+        pred_points = unpacked.world_points[:, :, 0]  # (B, E, N, 3)
+        pred_trans = unpacked.camera_translations[:, :, :, 0]  # (B, E, M-1, 3)
+        pred_rot = unpacked.camera_rotations[:, :, :, 0]
+        structure_se = (
+            jnp.mean(
+                jnp.square(pred_points - true_points[:, None]), axis=(-1, -2)
+            )
+            + jnp.mean(
+                jnp.square(pred_trans - true_trans[:, None]), axis=(-1, -2)
+            )
+            + jnp.mean(
+                jnp.square(pred_rot - batch.camera_orientations[:, None]),
+                axis=(-1, -2),
+            )
+        )
+        total = total + structure_weight * structure_se
+        components["structure_loss"] = structure_se
+    best = jnp.argmin(total, axis=-1)  # (B,)
+    pick = lambda x: jnp.take_along_axis(x, best[:, None], axis=1)[:, 0]
+    loss = jnp.mean(pick(total))
+    metrics = {name: jnp.mean(pick(v)) for name, v in components.items()}
+    metrics["loss"] = loss
+    usage = jnp.mean(jax.nn.one_hot(best, e), axis=0)  # (E,)
+    metrics["token_usage_entropy"] = -jnp.sum(
+        usage * jnp.log(jnp.maximum(usage, 1e-12))
+    )
+    return loss, metrics
+
+
 def _loss_and_metrics(
     network: CalibrationNetwork,
     params,
@@ -243,6 +312,17 @@ def _loss_and_metrics(
         mutable=["batch_stats"] if training else [],
     )
     (predictions, error), mutated = outputs
+    if predictions.ndim == 3:
+        # multi-token guess head (guess_tokens > 1): winner-take-all —
+        # each element is scored by its BEST token, so tokens specialise
+        # into diverse proposals instead of collapsing onto the mean
+        loss, metrics = _winner_take_all_loss(
+            network, predictions, error, batch, structure_weight
+        )
+        new_batch_stats = (
+            mutated.get("batch_stats", batch_stats) if training else batch_stats
+        )
+        return loss, (metrics, new_batch_stats)
     unpacked = unpack_calibration_parameters(
         predictions, network.num_views, network.num_points
     )

@@ -1,10 +1,12 @@
-"""Metric logging: stdout + optional JSONL file + weight summaries.
+"""Metric logging: stdout + optional JSONL file + TensorBoard + summaries.
 
 The reference logs through TensorBoard + MLflow with per-step ``self.log``
 and a weight-histogram helper
-(``training_modules/camera_optimisation_training_module.py:49-63``); the
-TPU build streams the same metric names to a JSONL file that any tracker
-can ingest, with no logging dependency in the hot path.
+(``training_modules/camera_optimisation_training_module.py:49-63``,
+``camera_calibration_from_oracle_matches.py:56-69``); the TPU build
+streams the same metric names to a JSONL file that any tracker can ingest
+(no logging dependency in the hot path), and optionally mirrors them to a
+TensorBoard event directory for observability parity.
 """
 
 from __future__ import annotations
@@ -21,11 +23,22 @@ __all__ = ["MetricsLogger", "weight_summaries"]
 
 class MetricsLogger:
     """Callable matching the ``fit(log_fn=...)`` signature
-    ``(split, epoch, metrics)``; prints one line and appends JSONL."""
+    ``(split, epoch, metrics)``; prints one line, appends JSONL, and
+    (with ``tensorboard_dir``) writes ``<split>/<name>`` scalars per
+    epoch to a TensorBoard event file."""
 
-    def __init__(self, path: Optional[str] = None):
+    def __init__(
+        self,
+        path: Optional[str] = None,
+        tensorboard_dir: Optional[str] = None,
+    ):
         self.path = path
         self._start = time.time()
+        self._writer = None
+        if tensorboard_dir:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._writer = SummaryWriter(log_dir=tensorboard_dir)
 
     def __call__(self, split: str, epoch: int, metrics: Dict[str, float]):
         record = {
@@ -39,6 +52,17 @@ class MetricsLogger:
         if self.path:
             with open(self.path, "a") as f:
                 f.write(line + "\n")
+        if self._writer is not None:
+            for name, value in metrics.items():
+                self._writer.add_scalar(
+                    f"{split}/{name}", float(value), global_step=epoch
+                )
+            self._writer.flush()
+
+    def close(self):
+        if self._writer is not None:
+            self._writer.close()
+            self._writer = None
 
 
 def weight_summaries(params) -> Dict[str, Dict[str, float]]:

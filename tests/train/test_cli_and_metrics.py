@@ -23,6 +23,16 @@ def test_metrics_logger_writes_jsonl(tmp_path, capsys):
     assert "loss" in out
 
 
+def test_metrics_logger_tensorboard(tmp_path):
+    tb_dir = tmp_path / "tb"
+    logger = MetricsLogger(tensorboard_dir=str(tb_dir))
+    logger("train", 0, {"loss": 1.0})
+    logger("val", 0, {"loss": 2.0})
+    logger.close()
+    events = list(tb_dir.glob("events.out.tfevents.*"))
+    assert events and events[0].stat().st_size > 0
+
+
 def test_weight_summaries():
     params = {"dense": {"kernel": jnp.asarray([[1.0, -3.0]])}}
     out = weight_summaries(params)
