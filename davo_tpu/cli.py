@@ -242,6 +242,13 @@ def main(argv=None):
         help="checkpoint directory from `fit-frontend`",
     )
     vo_p.add_argument("--image-size", type=int, default=64)
+    vo_p.add_argument(
+        "--match-confidence",
+        type=float,
+        default=0.0,
+        help="mask learned matches whose peak attention weight is below "
+        "this (0 = no gating)",
+    )
     args = parser.parse_args(argv)
 
     if args.command == "presets":
@@ -499,6 +506,7 @@ def main(argv=None):
                 num_select=arch.get("num_select", args.points),
                 descriptor_channels=arch.get("descriptor_channels", 64),
                 embedding_size=arch.get("embedding_size", 64),
+                match_confidence_threshold=args.match_confidence,
             )
             fe_restored = restore_checkpoint(args.frontend_checkpoint)
             fe_vars = {

@@ -47,11 +47,17 @@ class FeatureMatchModule(nn.Module):
         features_b: FeaturePoints,
         *,
         training: bool = False,
+        return_confidence: bool = False,
     ) -> MatchedPoints:
+        """:param return_confidence: also return the peak attention weight
+        per query — a match-confidence signal (a concentrated row means
+        one clear correspondence; a flat row means ambiguity).  Returns
+        ``(MatchedPoints, confidence (..., Q))`` and forces the jnp path
+        (the flash kernel does not materialise the weights)."""
         embed = self.embedding_size or max(self.descriptor_size, 1)
         query = nn.Dense(embed, name="query")(features_a.descriptors)
         key = nn.Dense(embed, name="key")(features_b.descriptors)
-        if not training:
+        if not training and not return_confidence:
             # inference path: blocked flash-attention Pallas kernel on TPU
             # (scores never materialise in HBM for large feature counts);
             # the kernel is forward-only, so the training path below keeps
@@ -64,13 +70,16 @@ class FeatureMatchModule(nn.Module):
             jnp.asarray(embed, dtype=query.dtype)
         )
         weights = jax.nn.softmax(logits, axis=-1)
-        if self.dropout > 0.0:
+        if training and self.dropout > 0.0:
             keep = jax.random.bernoulli(
                 self.make_rng("dropout"), 1.0 - self.dropout, weights.shape
             )
             weights = weights * keep / (1.0 - self.dropout)
         matched = jnp.einsum("...qk,...kc->...qc", weights, features_b.points)
-        return MatchedPoints(points_a=features_a.points, points_b=matched)
+        result = MatchedPoints(points_a=features_a.points, points_b=matched)
+        if return_confidence:
+            return result, jnp.max(weights, axis=-1)
+        return result
 
 
 class NFoldMatcherModule(nn.Module):

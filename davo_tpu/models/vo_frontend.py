@@ -38,7 +38,10 @@ class FrontendOutput(NamedTuple):
       anchor's own detected coordinates.
     * ``matches``: ``(B, M, N, 2)`` the top-N-by-anchor-score subset —
       the solver-facing observations.
-    * ``match_visibility``: ``(B, M, N)`` in-bounds flags of ``matches``.
+    * ``match_visibility``: ``(B, M, N)`` in-bounds (and, when confidence
+      gating is on, confident) flags of ``matches``.
+    * ``confidence``: ``(B, M, K)`` peak attention weight per anchor
+      feature and view (view 0 = 1), or ``None`` when gating is off.
     """
 
     points: jax.Array
@@ -46,6 +49,7 @@ class FrontendOutput(NamedTuple):
     matched: jax.Array
     matches: jax.Array
     match_visibility: jax.Array
+    confidence: jax.Array | None = None
 
 
 def select_matches(
@@ -80,6 +84,10 @@ class VOFrontend(nn.Module):
     descriptor_channels: int = 64
     embedding_size: int = 64
     dropout: float = 0.0
+    # Gate solver-facing matches on the matcher's peak attention weight
+    # (ambiguous rows regress a blend of candidates — better masked out
+    # than fed to the solver as a confident observation). 0 disables.
+    match_confidence_threshold: float = 0.0
 
     @nn.compact
     def __call__(
@@ -116,20 +124,42 @@ class VOFrontend(nn.Module):
             points=points[:, 1:].reshape(b * (m - 1), k, 2),
             descriptors=descriptors[:, 1:].reshape(b * (m - 1), k, -1),
         )
-        matched_rest = matcher(
+        gate = self.match_confidence_threshold > 0.0
+        matched_out = matcher(
             FeaturePoints(points=anchor_pts, descriptors=anchor_desc),
             target,
             training=training,
-        ).points_b.reshape(b, m - 1, k, 2)
+            return_confidence=gate,
+        )
+        confidence = None
+        if gate:
+            matched_out, conf_rest = matched_out
+            confidence = jnp.concatenate(
+                [
+                    jnp.ones((b, 1, k), conf_rest.dtype),
+                    conf_rest.reshape(b, m - 1, k),
+                ],
+                axis=1,
+            )
+        matched_rest = matched_out.points_b.reshape(b, m - 1, k, 2)
         matched = jnp.concatenate([points[:, 0:1], matched_rest], axis=1)
 
         matches, visibility = select_matches(
             matched, scores[:, 0], self.num_select
         )
+        if gate:
+            _, idx = jax.lax.top_k(scores[:, 0], self.num_select)
+            conf_sel = jnp.take_along_axis(
+                confidence, idx[:, None, :], axis=2
+            )
+            visibility = visibility & (
+                conf_sel > self.match_confidence_threshold
+            )
         return FrontendOutput(
             points=points,
             scores=scores,
             matched=matched,
             matches=matches,
             match_visibility=visibility,
+            confidence=confidence,
         )

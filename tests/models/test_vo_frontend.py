@@ -89,6 +89,32 @@ def test_matcher_finds_correct_match_on_constructed_scene():
     )
 
 
+def test_confidence_gating_masks_ambiguous_matches(rng):
+    key = jax.random.key(rng.integers(1 << 30))
+    images = jax.random.uniform(key, (1, 3, 32, 32, 3))
+    gated = VOFrontend(
+        num_select=4,
+        descriptor_channels=8,
+        embedding_size=8,
+        match_confidence_threshold=0.9,  # untrained attention is ~uniform
+    )
+    variables = gated.init({"params": key}, images)
+    out = gated.apply(variables, images)
+    assert out.confidence is not None
+    assert out.confidence.shape == (1, 3, (32 // 8) ** 2)
+    np.testing.assert_allclose(np.asarray(out.confidence[:, 0]), 1.0)
+    # untrained attention over 16 keys peaks far below 0.9: every
+    # non-anchor match must be gated out; the anchor view stays visible
+    assert not np.any(np.asarray(out.match_visibility[:, 1:]))
+    assert np.all(np.asarray(out.match_visibility[:, 0]))
+    ungated = VOFrontend(
+        num_select=4, descriptor_channels=8, embedding_size=8
+    )
+    out2 = ungated.apply(variables, images)
+    assert out2.confidence is None
+    assert np.any(np.asarray(out2.match_visibility[:, 1:]))
+
+
 def test_frontend_shapes_and_grads(rng):
     key = jax.random.key(rng.integers(1 << 30))
     net = VOFrontend(num_select=4, descriptor_channels=8, embedding_size=8)
