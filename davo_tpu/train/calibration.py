@@ -490,6 +490,8 @@ def fit(
     log_fn: Callable[[str, int, Dict[str, float]], None] = None,
     initial_state: Optional[TrainState] = None,
     epoch_offset: int = 0,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 25,
 ) -> Tuple[TrainState, Dict[str, list]]:
     """Train the calibration network; returns the final state + history.
 
@@ -497,6 +499,12 @@ def fit(
     checkpoint restore); the optimiser schedule continues from the state's
     step count.  ``epoch_offset`` only shifts the epoch passed to
     ``log_fn`` and the data keys so stages do not repeat batches.
+
+    ``checkpoint_dir`` enables failure recovery: the FULL train state
+    (params, batch stats, optimiser state, step) is checkpointed every
+    ``checkpoint_every`` epochs, and a fresh ``fit`` pointed at the same
+    directory resumes from the latest checkpoint instead of epoch 0 —
+    a killed or preempted run loses at most ``checkpoint_every`` epochs.
     """
     key = jax.random.key(config.seed)
     if epoch_offset:
@@ -505,12 +513,52 @@ def fit(
     network, state = create_train_state(config, init_key)
     if initial_state is not None:
         state = initial_state
+    start_epoch = 0
+    if checkpoint_dir is not None and initial_state is None:
+        from .checkpoint import latest_step, restore_checkpoint
+
+        resume_epoch = latest_step(checkpoint_dir)
+        if resume_epoch is not None:
+            # restore with an abstract target mirroring the live state so
+            # orbax rebuilds the exact pytree structure (incl. the optax
+            # chain's namedtuple nodes)
+            template = {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "step": jnp.asarray(state.step),
+            }
+            restored = restore_checkpoint(
+                checkpoint_dir,
+                resume_epoch,
+                abstract_state=jax.tree_util.tree_map(
+                    lambda x: jax.ShapeDtypeStruct(
+                        jnp.shape(x), jnp.result_type(x)
+                    ),
+                    template,
+                ),
+            )
+            state = state.replace(
+                params=restored["params"],
+                batch_stats=restored["batch_stats"],
+                opt_state=restored["opt_state"],
+                step=int(restored["step"]),
+            )
+            start_epoch = resume_epoch
+            # advance the data-key stream past the consumed epochs (one
+            # split per train batch + one per val batch, mirroring the
+            # epoch loop) so the resumed run sees the batches an
+            # uninterrupted run would have seen
+            for _ in range(
+                resume_epoch * (config.batches_per_epoch + config.val_batches)
+            ):
+                key, _ = jax.random.split(key)
     train_step = make_train_step(network, config)
     eval_step = make_eval_step(network, config)
 
     history = {"train": [], "val": []}
     num_epochs = epochs if epochs is not None else config.epochs
-    for epoch in range(num_epochs):
+    for epoch in range(start_epoch, num_epochs):
         start = time.time()
         train_metrics = []
         for _ in range(config.batches_per_epoch):
@@ -535,6 +583,21 @@ def fit(
         if log_fn is not None:
             log_fn("train", epoch + epoch_offset, train_avg)
             log_fn("val", epoch + epoch_offset, val_avg)
+        if checkpoint_dir is not None and (
+            (epoch + 1) % checkpoint_every == 0 or epoch + 1 == num_epochs
+        ):
+            from .checkpoint import save_checkpoint
+
+            save_checkpoint(
+                checkpoint_dir,
+                epoch + 1,
+                {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state,
+                    "step": state.step,
+                },
+            )
     return state, history
 
 
