@@ -55,6 +55,10 @@ class SceneConfig:
     # supports curriculum training of the guess network.
     fov_min_degrees: float = 30.0
     fov_max_degrees: float = 120.0
+    # Observation-noise augmentation (std, [-1,1] pixel units); 0 = the
+    # reference's exact projections.  Visibility is evaluated on the
+    # noisy pixels — the mask a real front-end would emit.
+    pixel_noise: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
 
@@ -150,6 +154,11 @@ def generate_scene(key: jax.Array, config: SceneConfig) -> CameraViewsAndPoints:
     u = focal_length * relative[..., 0] / z_rel + centre[0]
     v = focal_length * relative[..., 1] / z_rel + centre[1]
     projected = jnp.stack([u, v], axis=-1)
+    if config.pixel_noise > 0.0:
+        projected = projected + config.pixel_noise * jax.random.normal(
+            jax.random.fold_in(key, 101), projected.shape, dtype
+        )
+        u, v = projected[..., 0], projected[..., 1]
     visibility = (
         (u > -1.0) & (u < 1.0) & (v > -1.0) & (v < 1.0) & (relative[..., 2] > 0.0)
     )

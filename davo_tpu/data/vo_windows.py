@@ -41,6 +41,12 @@ class VOWindowConfig:
     target_jitter: float = 1.5
     min_fov: float = jnp.pi / 6.0
     max_fov: float = 2.0 * jnp.pi / 3.0
+    # Observation-noise augmentation: std of Gaussian noise added to the
+    # projected pixels (visibility is evaluated on the NOISY pixels — the
+    # mask a real front-end would emit).  Matters for robustness: a guess
+    # head trained on exact projections is brittle to the ~0.01-0.05
+    # coordinate noise of learned matches.
+    pixel_noise: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
 
@@ -94,6 +100,11 @@ def _generate_one(key: jax.Array, config: VOWindowConfig) -> CameraViewsAndPoint
     u = focal * rel[..., 0] / z + centre_px[0]
     v = focal * rel[..., 1] / z + centre_px[1]
     projected = jnp.stack([u, v], axis=-1)
+    if config.pixel_noise > 0.0:
+        projected = projected + config.pixel_noise * jax.random.normal(
+            jax.random.fold_in(key, 101), projected.shape, dtype
+        )
+        u, v = projected[..., 0], projected[..., 1]
     visibility = (
         (u > -1.0) & (u < 1.0) & (v > -1.0) & (v < 1.0) & (rel[..., 2] > 0.1)
     )

@@ -53,23 +53,48 @@ class FrontendOutput(NamedTuple):
 
 
 def select_matches(
-    matched: jax.Array, anchor_scores: jax.Array, num_select: int
+    matched: jax.Array,
+    anchor_scores: jax.Array,
+    num_select: int,
+    nms_radius: float = 0.0,
 ):
     """Top-``num_select`` anchor features by score, with in-bounds flags.
 
+    With ``nms_radius > 0`` the selection is greedy non-maximum
+    suppression in the anchor view: after each pick, every feature within
+    the radius of the picked coordinate is suppressed — otherwise several
+    coarse cells locked onto the same rendered blob are selected as
+    "distinct" points, starving the solver of constraints (a window solve
+    with N duplicated observations is effectively under-determined).
+
     :param matched: ``(B, M, K, 2)`` per-view coordinates of the anchor's
-        K features.
+        K features (view 0 = the anchor's own coordinates).
     :param anchor_scores: ``(B, K)``.
     :return: ``(matches (B, M, N, 2), visibility (B, M, N))``.
     """
-    _, idx = jax.lax.top_k(anchor_scores, num_select)  # (B, N)
+    if nms_radius <= 0.0:
+        _, idx = jax.lax.top_k(anchor_scores, num_select)  # (B, N)
+    else:
+        anchor_pts = matched[:, 0]  # (B, K, 2)
+        scores = anchor_scores
+        neg_inf = jnp.asarray(-jnp.inf, anchor_scores.dtype)
+        picks = []
+        for _ in range(num_select):
+            i = jnp.argmax(scores, axis=-1)  # (B,)
+            picks.append(i)
+            pos = jnp.take_along_axis(
+                anchor_pts, i[:, None, None], axis=1
+            )  # (B, 1, 2)
+            d2 = jnp.sum(jnp.square(anchor_pts - pos), axis=-1)  # (B, K)
+            scores = jnp.where(d2 < nms_radius**2, neg_inf, scores)
+        idx = jnp.stack(picks, axis=-1)  # (B, N)
     matches = jnp.take_along_axis(
         matched, idx[:, None, :, None], axis=2
     )  # (B, M, N, 2)
     visibility = (jnp.abs(matches[..., 0]) < 1.0) & (
         jnp.abs(matches[..., 1]) < 1.0
     )
-    return matches, visibility
+    return matches, visibility, idx
 
 
 class VOFrontend(nn.Module):
@@ -88,6 +113,9 @@ class VOFrontend(nn.Module):
     # (ambiguous rows regress a blend of candidates — better masked out
     # than fed to the solver as a confident observation). 0 disables.
     match_confidence_threshold: float = 0.0
+    # Greedy NMS radius (in [-1, 1] units) for the anchor-feature
+    # selection; 0 disables (see select_matches).
+    nms_radius: float = 0.0
 
     @nn.compact
     def __call__(
@@ -144,11 +172,10 @@ class VOFrontend(nn.Module):
         matched_rest = matched_out.points_b.reshape(b, m - 1, k, 2)
         matched = jnp.concatenate([points[:, 0:1], matched_rest], axis=1)
 
-        matches, visibility = select_matches(
-            matched, scores[:, 0], self.num_select
+        matches, visibility, idx = select_matches(
+            matched, scores[:, 0], self.num_select, nms_radius=self.nms_radius
         )
         if gate:
-            _, idx = jax.lax.top_k(scores[:, 0], self.num_select)
             conf_sel = jnp.take_along_axis(
                 confidence, idx[:, None, :], axis=2
             )

@@ -99,6 +99,9 @@ class CalibrationExperiment:
     # clusters) or "vo_windows" (orbit-arc keyframe windows matching the
     # windowed-VO geometry, davo_tpu.data.vo_windows).
     data_source: str = "scenes"
+    # Observation-noise augmentation std on the training projections
+    # (robustness to learned-match coordinate noise; 0 = exact oracle).
+    pixel_noise: float = 0.0
     seed: int = 0
     dtype: Any = jnp.float32
     scene: Optional[SceneConfig] = None
@@ -120,6 +123,7 @@ class CalibrationExperiment:
         return SceneConfig(
             num_views=self.num_views,
             num_points=self.num_points,
+            pixel_noise=self.pixel_noise,
             dtype=self.dtype,
         )
 
@@ -142,6 +146,7 @@ class CalibrationExperiment:
             window_cfg = VOWindowConfig(
                 num_views=self.num_views,
                 num_points=self.num_points,
+                pixel_noise=self.pixel_noise,
                 dtype=self.dtype,
             )
             return lambda key, batch_size: generate_vo_window_batch(

@@ -36,7 +36,8 @@ def test_select_matches_picks_top_scores():
     scores = jnp.asarray(
         [[0.1, 5.0, -2.0, 3.0, 0.2], [9.0, 0.0, 8.0, -1.0, 7.0]]
     )
-    matches, vis = select_matches(matched, scores, 2)
+    matches, vis, idx = select_matches(matched, scores, 2)
+    np.testing.assert_array_equal(np.asarray(idx), [[1, 3], [0, 2]])
     assert matches.shape == (2, 3, 2, 2)
     np.testing.assert_array_equal(
         np.asarray(matches[0, 0]), np.asarray(matched[0, 0, [1, 3]])
@@ -50,7 +51,7 @@ def test_select_matches_picks_top_scores():
 def test_select_matches_flags_out_of_bounds():
     matched = jnp.zeros((1, 2, 4, 2)).at[0, 1, 0, 0].set(2.0)
     scores = jnp.asarray([[4.0, 3.0, 2.0, 1.0]])
-    _, vis = select_matches(matched, scores, 2)
+    _, vis, _ = select_matches(matched, scores, 2)
     assert not bool(vis[0, 1, 0])  # u = 2 out of bounds
     assert bool(vis[0, 0, 0]) and bool(vis[0, 1, 1])
 
@@ -87,6 +88,20 @@ def test_matcher_finds_correct_match_on_constructed_scene():
     np.testing.assert_allclose(
         np.asarray(out.points_b[0]), np.asarray(expected), atol=1e-3
     )
+
+
+def test_nms_selection_suppresses_duplicates():
+    # two clusters of features; without NMS the top-2 are both from the
+    # high-score cluster, with NMS the second pick jumps clusters
+    anchor = jnp.asarray(
+        [[[0.0, 0.0], [0.01, 0.0], [0.5, 0.5], [0.52, 0.5]]]
+    )  # (1, 4, 2)
+    matched = jnp.broadcast_to(anchor[:, None], (1, 2, 4, 2))
+    scores = jnp.asarray([[10.0, 9.0, 5.0, 4.0]])
+    _, _, idx_plain = select_matches(matched, scores, 2)
+    np.testing.assert_array_equal(np.asarray(idx_plain[0]), [0, 1])
+    _, _, idx_nms = select_matches(matched, scores, 2, nms_radius=0.1)
+    np.testing.assert_array_equal(np.asarray(idx_nms[0]), [0, 2])
 
 
 def test_confidence_gating_masks_ambiguous_matches(rng):
