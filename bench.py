@@ -71,11 +71,24 @@ def bench_backend(device) -> float:
     vis = batch.visibility_mask.astype(guess.dtype)
     # Each backend gets its best objective implementation (identical
     # semantics, tested equivalent): the channel-major layout that feeds
-    # the TPU's 128-wide lanes is slower on CPU, and vice versa.
+    # the TPU's 128-wide lanes is slower on CPU, and vice versa.  On TPU
+    # the per-iteration value+gradient additionally runs as the fused
+    # Pallas kernel (measured 2.6x over jnp autodiff); line-search probes
+    # stay on the jnp jvp (measured faster than the dirderiv kernel).
     objective = calibration_error_fast if on_tpu else calibration_error
 
     def err_fn(params):
         return objective(params, batch.projected_points, vis)
+
+    value_and_grad_fn = None
+    if on_tpu:
+        from davo_tpu.ops.calibration_obj import (
+            make_fused_calibration_objective,
+        )
+
+        err_fn, value_and_grad_fn = make_fused_calibration_objective(
+            batch.projected_points, vis
+        )
 
     def chained(reps):
         # Chain dependent solves inside ONE jit and fetch a scalar: the
@@ -87,7 +100,13 @@ def bench_backend(device) -> float:
         @jax.jit
         def run(g):
             def body(p, _):
-                return bfgs_solve(err_fn, p, solver), None
+                return (
+                    bfgs_solve(
+                        err_fn, p, solver,
+                        value_and_grad_fn=value_and_grad_fn,
+                    ),
+                    None,
+                )
             out, _ = jax.lax.scan(body, g, None, length=reps)
             return jnp.sum(out)
 

@@ -64,8 +64,14 @@ def _kernel(flags_ref, h_ref, s_ref, y_ref, g_ref, upd_ref, h_out_ref, d_out_ref
     scale_eff = 1.0 + f_second * (rescale - 1.0)  # (1, BB)
     h = h * scale_eff[None]
 
-    yth = jnp.sum(h * y[:, None, :], axis=0)  # (P, BB)  y^T H
-    hy = jnp.sum(h * y[None, :, :], axis=1)  # (P, BB)  H y
+    # The BFGS inverse-Hessian is symmetric (H0 = c*I; the compact update
+    # preserves symmetry exactly — the delta below is a symmetric
+    # construction), so H y == (y^T H)^T and the direction matvec can both
+    # be computed as LEADING-axis reductions (a sequence of (P, BB)-tile
+    # fused multiply-adds on the VPU) instead of reductions over the
+    # sublane axis, which Mosaic lowers to log-depth cross-sublane
+    # shuffles per row — the measured compute bottleneck of kernel v1.
+    yth = jnp.sum(h * y[:, None, :], axis=0)  # (P, BB)  y^T H == (H y)^T
     yhy_on_c = jnp.sum(yth * (y * inv_c), axis=0, keepdims=True)  # (1, BB)
     s_on_c = s * inv_c
 
@@ -74,12 +80,12 @@ def _kernel(flags_ref, h_ref, s_ref, y_ref, g_ref, upd_ref, h_out_ref, d_out_ref
     applied = upd * (1.0 - f_first)  # (1, BB)
     delta = (
         s_on_c[:, None, :] * ((1.0 + yhy_on_c) * s - yth)[None, :, :]
-        - hy[:, None, :] * s_on_c[None, :, :]
+        - yth[:, None, :] * s_on_c[None, :, :]
     )
     h_out = h + applied[None] * delta
     h_out_ref[...] = h_out.astype(h_out_ref.dtype)
 
-    d = -jnp.sum(h_out * g[None, :, :], axis=1)  # (P, BB)
+    d = -jnp.sum(h_out * g[:, None, :], axis=0)  # (P, BB), symmetry again
     d_out_ref[...] = f_first * (-g) + (1.0 - f_first) * d
 
 

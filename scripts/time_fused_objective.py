@@ -1,7 +1,11 @@
-"""TPU check: the fused calibration value/grad kernels lower, agree with
-the jnp path, and are measured with chained-scan slope timing.
+"""Slope-timing of the fused calibration objective kernels (slim runner).
 
-Run: timeout 900 python -u scripts/check_fused_objective.py
+check_fused_objective.py covers parity + block sweep; the block_b=1024
+Mosaic compile hangs through the relay, so this runner does ONLY the
+chained-scan slope timings at the default block (256).
+
+Run: JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache \
+     timeout 2400 python -u scripts/time_fused_objective.py
 """
 
 import os
@@ -25,8 +29,7 @@ P = num_calibration_parameters(M, N)
 
 
 def main():
-    dev = jax.devices()[0]
-    print("device:", dev, flush=True)
+    print("device:", jax.devices()[0], flush=True)
     cfg = SceneConfig(num_views=M, num_points=N)
     batch = generate_batch(jax.random.key(0), BATCH, cfg)
     guess = 0.1 * jax.random.normal(jax.random.key(1), (BATCH, P))
@@ -46,34 +49,6 @@ def main():
         (grad,) = pullback(jnp.ones_like(err))
         return err, grad
 
-    for block_b in (256, 512):  # 1024: Mosaic compile hangs through the relay
-        try:
-            kfn = jax.jit(
-                lambda p, bb=block_b: calibration_value_and_grad(
-                    p, u_t, v_t, vis_t, block_b=bb
-                )
-            )
-            err_k, grad_k = jax.block_until_ready(kfn(guess))
-        except Exception as e:  # noqa: BLE001
-            print(f"block_b={block_b}: FAILED {type(e).__name__}: {e}")
-            continue
-        err_j, grad_j = jax.jit(jnp_vg)(guess)
-        de = float(jnp.max(jnp.abs(err_k - err_j)))
-        dg = float(jnp.max(jnp.abs(grad_k - grad_j)))
-        print(f"block_b={block_b}: max|derr|={de:.3e} max|dgrad|={dg:.3e}")
-
-    # dirderiv parity
-    err_d, dphi_d = jax.jit(
-        lambda p, d: calibration_value_and_dirderiv(p, d, u_t, v_t, vis_t)
-    )(guess, direction)
-    _, dphi_j = jax.jit(
-        lambda p, d: jax.jvp(
-            lambda q: calibration_error_fast(q, pts, vis), (p,), (d,)
-        )
-    )(guess, direction)
-    print("dirderiv max diff:", float(jnp.max(jnp.abs(dphi_d - dphi_j))))
-
-    # --- slope timing: chain dependent evals inside one jit --------------
     def timed(fn, label):
         def chained(reps):
             @jax.jit
@@ -81,6 +56,7 @@ def main():
                 def body(q, _):
                     e, g = fn(q)
                     return q + 1e-6 * g, e
+
                 out, es = jax.lax.scan(body, p, None, length=reps)
                 return jnp.sum(out) + jnp.sum(es)
 
@@ -118,7 +94,9 @@ def main():
     timed(dd_as_vg(jnp_dd), "jnp value+dirderiv")
     timed(
         dd_as_vg(
-            lambda p: calibration_value_and_dirderiv(p, direction, u_t, v_t, vis_t)
+            lambda p: calibration_value_and_dirderiv(
+                p, direction, u_t, v_t, vis_t
+            )
         ),
         "fused value+dirderiv",
     )
