@@ -249,6 +249,14 @@ def main(argv=None):
         help="mask learned matches whose peak attention weight is below "
         "this (0 = no gating)",
     )
+    vo_p.add_argument(
+        "--nms-radius",
+        type=float,
+        default=0.1,
+        help="greedy NMS radius (in [-1,1] units) for anchor-feature "
+        "selection; suppresses duplicate detections of one blob "
+        "(~2x rendered blob sigma; 0 disables)",
+    )
     args = parser.parse_args(argv)
 
     if args.command == "presets":
@@ -507,6 +515,7 @@ def main(argv=None):
                 descriptor_channels=arch.get("descriptor_channels", 64),
                 embedding_size=arch.get("embedding_size", 64),
                 match_confidence_threshold=args.match_confidence,
+                nms_radius=args.nms_radius,
             )
             fe_restored = restore_checkpoint(args.frontend_checkpoint)
             fe_vars = {
