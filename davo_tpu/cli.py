@@ -154,6 +154,14 @@ def main(argv=None):
     fe_p.add_argument("--batches-per-epoch", type=int, default=None)
     fe_p.add_argument("--image-size", type=int, default=None)
     fe_p.add_argument("--points", type=int, default=None)
+    fe_p.add_argument(
+        "--select",
+        type=int,
+        default=None,
+        help="solver-facing tracks per window (default: same as --points; "
+        "training with more scene points than selected tracks teaches "
+        "descriptor discrimination on denser scenes)",
+    )
     fe_p.add_argument("--views", type=int, default=None)
     fe_p.add_argument("--learning-rate", type=float, default=None)
     fe_p.add_argument("--seed", type=int, default=None)
@@ -256,6 +264,59 @@ def main(argv=None):
         help="greedy NMS radius (in [-1,1] units) for anchor-feature "
         "selection; suppresses duplicate detections of one blob "
         "(~2x rendered blob sigma; 0 disables)",
+    )
+    vo_p.add_argument(
+        "--snap-radius",
+        type=float,
+        default=0.0,
+        help="snap regressed matches to the nearest detected feature in "
+        "their view and reject ones farther than this (0 disables)",
+    )
+    vo_p.add_argument(
+        "--cycle-threshold",
+        type=float,
+        default=0.0,
+        help="reject matches whose reverse match (target -> anchor) "
+        "round-trips farther than this from the anchor feature "
+        "(0 disables)",
+    )
+    vo_p.add_argument(
+        "--quality-bonus",
+        type=float,
+        default=0.0,
+        help="bias anchor-track selection toward tracks passing the "
+        "verification gates in many views (0 = pure detection score)",
+    )
+    vo_p.add_argument(
+        "--score-threshold",
+        type=float,
+        default=0.0,
+        help="drop tracks whose anchor detection probability is below "
+        "this (masks junk tracks when < N real blobs are visible)",
+    )
+    vo_p.add_argument(
+        "--centroid-refine",
+        type=int,
+        default=0,
+        help="subpixel mean-shift iterations refining every detection to "
+        "the local intensity centroid (0 disables)",
+    )
+    vo_p.add_argument(
+        "--scene-points",
+        type=int,
+        default=0,
+        help="landmarks in the rendered scene (learned matches only; "
+        "0 = same as --points). More landmarks than solver slots lets "
+        "the front-end select the best verified tracks, like a real VO "
+        "feature pipeline",
+    )
+    vo_p.add_argument(
+        "--track-points",
+        type=int,
+        default=0,
+        help="width of the learned GLOBAL tracks fed to the refinement "
+        "stage (0 = same as --points); refinement has no fixed-N "
+        "constraint, so more verified tracks tighten the BA",
     )
     args = parser.parse_args(argv)
 
@@ -419,6 +480,8 @@ def main(argv=None):
             value = getattr(args, cli_name, None)
             if value is not None:
                 updates[field] = value
+        if getattr(args, "select", None):
+            updates["num_select"] = args.select
         if "num_points" in updates:
             updates.setdefault("num_select", updates["num_points"])
         if updates.get("image_size"):
@@ -487,6 +550,7 @@ def main(argv=None):
             return net.apply(variables, pw, vw)
 
         frontend_fn = None
+        track_fn = None
         render_config = None
         if args.matches == "learned":
             import os
@@ -516,6 +580,11 @@ def main(argv=None):
                 embedding_size=arch.get("embedding_size", 64),
                 match_confidence_threshold=args.match_confidence,
                 nms_radius=args.nms_radius,
+                snap_radius=args.snap_radius,
+                cycle_threshold=args.cycle_threshold,
+                quality_bonus=args.quality_bonus,
+                score_threshold=args.score_threshold,
+                centroid_refine_iters=args.centroid_refine,
             )
             fe_restored = restore_checkpoint(args.frontend_checkpoint)
             fe_vars = {
@@ -528,9 +597,28 @@ def main(argv=None):
                 out = frontend_net.apply(fe_vars, images)
                 return out.matches, out.match_visibility
 
+            track_fn = None
+            if args.track_points and args.track_points != args.points:
+                track_net = frontend_net.clone(
+                    num_select=args.track_points
+                )
+
+                @jax.jit
+                def track_fn(images):
+                    out = track_net.apply(fe_vars, images)
+                    return out.matches, out.match_visibility
+
+        scene_points = args.scene_points or args.points
+        if scene_points != args.points and args.matches != "learned":
+            print(
+                "--scene-points requires --matches learned (oracle "
+                "matches go straight to the solver)",
+                file=sys.stderr,
+            )
+            return 2
         tcfg = TrajectoryConfig(
             num_frames=args.frames,
-            num_points=args.points,
+            num_points=scene_points,
             window=args.window,
             stride=args.stride,
         )
@@ -547,6 +635,7 @@ def main(argv=None):
                 stitch=args.stitch,
                 frontend_fn=frontend_fn,
                 render_config=render_config,
+                track_fn=track_fn,
             )
             results.append({k: float(v) for k, v in ate.items()})
             print(json.dumps({"trial": trial, **results[-1]}), flush=True)

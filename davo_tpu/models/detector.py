@@ -24,7 +24,78 @@ from flax import linen as nn
 
 from davo_tpu.types import FeaturePoints
 
-__all__ = ["UpscaleModule", "UpscaleWithSkipModule", "FeatureDetectionModule"]
+__all__ = [
+    "UpscaleModule",
+    "UpscaleWithSkipModule",
+    "FeatureDetectionModule",
+    "refine_points_centroid",
+]
+
+
+def refine_points_centroid(
+    images: jax.Array,
+    points: jax.Array,
+    *,
+    iters: int = 2,
+    radius_px: int = 4,
+    weight_sigma_px: float = 2.0,
+) -> jax.Array:
+    """Subpixel keypoint refinement by local intensity centroid.
+
+    The conv detector localises blobs to ~1 px (bounded cell offsets); the
+    rendered blobs (``data/rendering.py::render_frame``) are radially
+    symmetric patterns, so the background-subtracted, Gaussian-windowed
+    intensity centroid around a detection is an unbiased subpixel
+    estimator of the blob centre — a classical mean-shift refinement that
+    needs no training. Coordinates follow the rendering convention: pixel
+    ``(y, x)`` centre sits at ``((x + 0.5) / W * 2 - 1, (y + 0.5) / H * 2
+    - 1)``.
+
+    :param images: ``(V, H, W, C)``.
+    :param points: ``(V, K, 2)`` ``(u, v)`` coordinates in ``[-1, 1]``.
+    :param iters: mean-shift iterations (the window re-centres each time).
+    :param radius_px: half-width of the square refinement window.
+    :param weight_sigma_px: Gaussian window sigma in pixels (~ blob sigma).
+    :return: refined ``(V, K, 2)`` coordinates.
+    """
+    v, h, w, _ = images.shape
+    gray = jnp.mean(images, axis=-1)  # (V, H, W)
+    win = 2 * radius_px + 1
+    offs = jnp.arange(win, dtype=points.dtype) - radius_px
+    oy, ox = jnp.meshgrid(offs, offs, indexing="ij")
+    gauss = jnp.exp(
+        -(jnp.square(ox) + jnp.square(oy))
+        / (2.0 * weight_sigma_px * weight_sigma_px)
+    )
+
+    def refine_one(img, p):
+        def step(p, _):
+            x_pix = (p[0] + 1.0) * 0.5 * w - 0.5
+            y_pix = (p[1] + 1.0) * 0.5 * h - 0.5
+            cx = jnp.clip(
+                jnp.round(x_pix).astype(jnp.int32) - radius_px, 0, w - win
+            )
+            cy = jnp.clip(
+                jnp.round(y_pix).astype(jnp.int32) - radius_px, 0, h - win
+            )
+            patch = jax.lax.dynamic_slice(img, (cy, cx), (win, win))
+            # local background subtraction: the blob sits on a smooth
+            # background + noise; the median of the window is a robust
+            # background level (the blob covers < half the window)
+            wgt = jnp.maximum(patch - jnp.median(patch), 0.0) * gauss
+            s = jnp.sum(wgt) + 1e-8
+            mx = cx + radius_px + jnp.sum(wgt * ox) / s
+            my = cy + radius_px + jnp.sum(wgt * oy) / s
+            refined = jnp.stack(
+                [(mx + 0.5) / w * 2.0 - 1.0, (my + 0.5) / h * 2.0 - 1.0]
+            )
+            return refined.astype(p.dtype), None
+        out, _ = jax.lax.scan(step, p, None, length=iters)
+        return out
+
+    return jax.vmap(
+        lambda img, pts: jax.vmap(lambda p: refine_one(img, p))(pts)
+    )(gray, points)
 
 
 class UpscaleModule(nn.Module):

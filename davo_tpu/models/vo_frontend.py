@@ -116,6 +116,37 @@ class VOFrontend(nn.Module):
     # Greedy NMS radius (in [-1, 1] units) for the anchor-feature
     # selection; 0 disables (see select_matches).
     nms_radius: float = 0.0
+    # --- eval-time match verification (solver-facing outputs only; the
+    # raw ``matched`` regression is untouched so training losses keep
+    # their gradients) -------------------------------------------------
+    # Snap: a regressed coordinate that does not land within this radius
+    # of ANY detected feature in its view is an outlier (the soft
+    # attention blended several candidates); inside the radius the
+    # coordinate is replaced by the detection itself, which localises the
+    # blob better than the attention blend. 0 disables.
+    snap_radius: float = 0.0
+    # Cycle consistency: the snapped target feature is matched BACK to
+    # the anchor view (same matcher, roles swapped); the round trip must
+    # return within this distance of the original anchor feature.
+    # Catches confident-but-wrong assignments that snap alone keeps.
+    # 0 disables.
+    cycle_threshold: float = 0.0
+    # Selection bias toward tracks that pass the verification gates in
+    # many views (added to the anchor detection score as
+    # ``bonus * valid_fraction``); 0 keeps pure score ranking.
+    quality_bonus: float = 0.0
+    # Drop tracks whose anchor detection probability (sigmoid of the
+    # score logit) is below this — when fewer real blobs than
+    # ``num_select`` are visible, the trailing selections are junk that
+    # must be masked, not fed to the solver. With snapping on, the
+    # snapped target detection must also pass. 0 disables.
+    score_threshold: float = 0.0
+    # Subpixel refinement: mean-shift each detected coordinate to the
+    # local intensity centroid (see ``detector.refine_points_centroid``).
+    # The conv detector localises to ~1 px; the centroid reaches well
+    # under half a pixel on the rendered blobs. 0 disables.
+    centroid_refine_iters: int = 0
+    centroid_radius_px: int = 4
 
     @nn.compact
     def __call__(
@@ -130,7 +161,17 @@ class VOFrontend(nn.Module):
             descriptor_channels=self.descriptor_channels, name="detector"
         )(images.reshape(b * m, h, w, c), training=training)
         k = feats.points.shape[1]
-        points = feats.points.reshape(b, m, k, 2)
+        flat_points = feats.points
+        if self.centroid_refine_iters > 0:
+            from .detector import refine_points_centroid
+
+            flat_points = refine_points_centroid(
+                images.reshape(b * m, h, w, c),
+                flat_points,
+                iters=self.centroid_refine_iters,
+                radius_px=self.centroid_radius_px,
+            )
+        points = flat_points.reshape(b, m, k, 2)
         descriptors = feats.descriptors.reshape(b, m, k, -1)
         scores = feats.scores.reshape(b, m, k)
 
@@ -172,9 +213,74 @@ class VOFrontend(nn.Module):
         matched_rest = matched_out.points_b.reshape(b, m - 1, k, 2)
         matched = jnp.concatenate([points[:, 0:1], matched_rest], axis=1)
 
+        # --- eval-time verification of the solver-facing matches ---------
+        solver_matched = matched
+        extra_valid = jnp.ones((b, m, k), bool)
+        if self.snap_radius > 0.0 or self.cycle_threshold > 0.0:
+            d2 = jnp.sum(
+                jnp.square(
+                    matched[:, :, :, None, :] - points[:, :, None, :, :]
+                ),
+                axis=-1,
+            )  # (B, M, K, K): regressed coord vs every detection, per view
+            snap_idx = jnp.argmin(d2, axis=-1)  # (B, M, K)
+            snap_dist = jnp.sqrt(jnp.min(d2, axis=-1) + 1e-12)
+        if self.snap_radius > 0.0:
+            snapped = jnp.take_along_axis(
+                points, snap_idx[..., None], axis=2
+            )  # (B, M, K, 2)
+            near = snap_dist < self.snap_radius
+            solver_matched = jnp.where(near[..., None], snapped, matched)
+            # view 0 is the anchor's own detections (snap_dist == 0)
+            extra_valid = extra_valid & near
+        if self.cycle_threshold > 0.0:
+            rev_out = matcher(
+                target,
+                FeaturePoints(points=anchor_pts, descriptors=anchor_desc),
+                training=training,
+            )
+            rev = jnp.concatenate(
+                [
+                    points[:, 0:1],
+                    rev_out.points_b.reshape(b, m - 1, k, 2),
+                ],
+                axis=1,
+            )  # (B, M, K, 2): each view-m feature regressed back to anchor
+            rev_at_match = jnp.take_along_axis(
+                rev, snap_idx[..., None], axis=2
+            )
+            cycle_err = jnp.sqrt(
+                jnp.sum(
+                    jnp.square(rev_at_match - points[:, 0:1]), axis=-1
+                )
+                + 1e-12
+            )
+            extra_valid = extra_valid & (cycle_err < self.cycle_threshold)
+
+        if self.score_threshold > 0.0:
+            prob = jax.nn.sigmoid(scores)  # (B, M, K)
+            extra_valid = extra_valid & (
+                prob[:, 0:1] > self.score_threshold
+            )  # anchor track must be a real detection (broadcast over M)
+            if self.snap_radius > 0.0:
+                snapped_prob = jnp.take_along_axis(prob, snap_idx, axis=2)
+                extra_valid = extra_valid & (
+                    snapped_prob > self.score_threshold
+                )
+
+        sel_scores = scores[:, 0]
+        if self.quality_bonus > 0.0:
+            valid_frac = jnp.mean(
+                extra_valid.astype(sel_scores.dtype), axis=1
+            )  # (B, K)
+            sel_scores = sel_scores + self.quality_bonus * valid_frac
+
         matches, visibility, idx = select_matches(
-            matched, scores[:, 0], self.num_select, nms_radius=self.nms_radius
+            solver_matched, sel_scores, self.num_select,
+            nms_radius=self.nms_radius,
         )
+        valid_sel = jnp.take_along_axis(extra_valid, idx[:, None, :], axis=2)
+        visibility = visibility & valid_sel
         if gate:
             conf_sel = jnp.take_along_axis(
                 confidence, idx[:, None, :], axis=2

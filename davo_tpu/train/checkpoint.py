@@ -110,11 +110,30 @@ def restore_checkpoint(
         ckptr = _orbax_checkpointer()
         if abstract_state is not None:
             return ckptr.restore(orbax_path, abstract_state)
+        # Host restore must not depend on the checkpoint's saved shardings:
+        # a checkpoint written on TPU would otherwise fail to restore in a
+        # CPU process ("Device TPU v5 lite0 was not found"). Restore every
+        # leaf as a plain numpy array instead.
+        import orbax.checkpoint as ocp
+
+        pt_ckptr = ocp.PyTreeCheckpointer()
         with warnings.catch_warnings():
-            # Orbax warns that sharding info is read from the checkpoint's
-            # sharding file; we immediately move to host anyway.
             warnings.simplefilter("ignore", UserWarning)
-            restored = ckptr.restore(orbax_path)
+            try:
+                meta = pt_ckptr.metadata(orbax_path)
+                tree = getattr(
+                    getattr(meta, "item_metadata", meta), "tree", meta
+                )
+                restore_args = jax.tree_util.tree_map(
+                    lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree
+                )
+                restored = pt_ckptr.restore(
+                    orbax_path, restore_args=restore_args
+                )
+            except Exception:
+                # fall back to the sharding-faithful restore (works when
+                # the saving platform's devices are present)
+                restored = ckptr.restore(orbax_path)
         return _to_host(restored)
     if abstract_state is not None:
         raise ValueError(

@@ -813,6 +813,7 @@ def evaluate_learned_vo(
     stitch: str = "global",
     frontend_fn=None,
     render_config=None,
+    track_fn=None,
 ) -> Dict[str, jax.Array]:
     """Generate a sequence, run the full learned VO (optionally followed by
     global BA refinement — single-start or ``multistart`` scale-mode
@@ -834,8 +835,10 @@ def evaluate_learned_vo(
             pixels, visibility, jax.random.fold_in(key, 11), render_config
         )
         # learned global tracks replace the oracle observations everywhere
-        # downstream (refinement, multistart scoring)
-        tracks, track_vis = frontend_fn(images[None])
+        # downstream (refinement, multistart scoring); the refinement stage
+        # has no fixed-N constraint, so ``track_fn`` may select more (wider)
+        # tracks than the per-window guess network consumes
+        tracks, track_vis = (track_fn or frontend_fn)(images[None])
         pixels = tracks[0]
         visibility = track_vis[0]
     estimates = solve_windowed_vo_learned(

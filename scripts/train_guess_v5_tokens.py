@@ -28,7 +28,7 @@ LAYERS = 8
 EMBED = 384
 HEADS = 8
 TOKENS = 8
-EPOCHS = 1200
+EPOCHS = int(os.environ.get("V5_EPOCHS", "1200"))
 OUT = "artifacts/calibration_transformer_v5_tokens8.pkl"
 
 
@@ -61,6 +61,13 @@ def main():
         pickle.dump(
             {"params": state.params, "batch_stats": state.batch_stats}, f
         )
+    from davo_tpu.train import save_checkpoint
+
+    save_checkpoint(
+        "artifacts/ckpt_v5_tokens",
+        EPOCHS,
+        {"params": state.params, "batch_stats": state.batch_stats},
+    )
     print(
         json.dumps(
             {

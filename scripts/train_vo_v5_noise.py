@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from davo_tpu.train import fit, get_preset
 
 OUT = "artifacts/vo_windows_transformer_v5_noise.pkl"
+EPOCHS = int(os.environ.get("V5_EPOCHS", "1200"))
 
 
 def log_fn(split, epoch, metrics):
@@ -42,7 +43,7 @@ def log_fn(split, epoch, metrics):
 def main():
     cfg = dataclasses.replace(
         get_preset("calibration_transformer_curriculum"),
-        epochs=1200,
+        epochs=EPOCHS,
         hidden_size=384,
         transformer_layers=8,
         transformer_heads=8,
