@@ -318,6 +318,15 @@ def main(argv=None):
         "stage (0 = same as --points); refinement has no fixed-N "
         "constraint, so more verified tracks tighten the BA",
     )
+    vo_p.add_argument(
+        "--track-anchors",
+        type=int,
+        default=1,
+        choices=(1, 2),
+        help="2 = also track the reversed sequence (anchor at BOTH ends) "
+        "and concatenate: frame-0-anchored tracks go blind by mid-orbit; "
+        "dual anchoring keeps every frame observed",
+    )
     args = parser.parse_args(argv)
 
     if args.command == "presets":
@@ -520,6 +529,8 @@ def main(argv=None):
     if args.command == "vo-eval":
         import pickle
 
+        import jax.numpy as jnp
+
         from davo_tpu.train import get_preset
         from davo_tpu.train.vo_eval import TrajectoryConfig, evaluate_learned_vo
 
@@ -598,14 +609,30 @@ def main(argv=None):
                 return out.matches, out.match_visibility
 
             track_fn = None
-            if args.track_points and args.track_points != args.points:
+            if (
+                args.track_points and args.track_points != args.points
+            ) or args.track_anchors == 2:
                 track_net = frontend_net.clone(
-                    num_select=args.track_points
+                    num_select=args.track_points or args.points
                 )
 
                 @jax.jit
                 def track_fn(images):
                     out = track_net.apply(fe_vars, images)
+                    if args.track_anchors == 2:
+                        rev = track_net.apply(fe_vars, images[:, ::-1])
+                        return (
+                            jnp.concatenate(
+                                [out.matches, rev.matches[:, ::-1]], axis=2
+                            ),
+                            jnp.concatenate(
+                                [
+                                    out.match_visibility,
+                                    rev.match_visibility[:, ::-1],
+                                ],
+                                axis=2,
+                            ),
+                        )
                     return out.matches, out.match_visibility
 
         scene_points = args.scene_points or args.points

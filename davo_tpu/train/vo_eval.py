@@ -495,7 +495,10 @@ def solve_windowed_vo_learned(
         else:
             w_pix, w_vis = pixels[idx][None], visibility[idx][None]
         vec = guess_fn(w_pix, w_vis)[0]
-        params = unpack_calibration_parameters(vec, w, pixels.shape[1])
+        # N from the window observations themselves: with a learned
+        # front-end the global tracks (``pixels``) may be wider than the
+        # per-window match count the guess network consumes
+        params = unpack_calibration_parameters(vec, w, w_pix.shape[2])
         rel = jnp.concatenate(
             [params.camera_rotations[:, 0, :],
              params.camera_translations[:, 0, :]],
