@@ -595,7 +595,7 @@ def fit(
 
             save_checkpoint(
                 checkpoint_dir,
-                epoch + 1,
+                epoch + 1 + epoch_offset,  # global epoch across stages
                 {
                     "params": state.params,
                     "batch_stats": state.batch_stats,
@@ -615,6 +615,8 @@ def fit_fov_curriculum(
     ),
     *,
     log_fn: Callable[[str, int, Dict[str, float]], None] = None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 25,
 ) -> Tuple[TrainState, Dict[str, list]]:
     """Train with a narrow-to-wide FOV curriculum (ROADMAP round-2 item).
 
@@ -623,6 +625,11 @@ def fit_fov_curriculum(
     schedule spans the whole run (the schedule is built from
     ``config.epochs``); only the scene distribution changes per stage, at
     the cost of one train-step recompile each.
+
+    ``checkpoint_dir`` forwards to :func:`fit` for periodic full-state
+    saves (a killed run loses at most ``checkpoint_every`` epochs).
+    Cross-stage auto-resume is NOT wired up — restore manually via
+    ``restore_checkpoint`` and restart the intended stage.
     """
     remaining = config.epochs - sum(e for _, _, e in stages if e)
     flexible = [i for i, (_, _, e) in enumerate(stages) if not e]
@@ -647,6 +654,8 @@ def fit_fov_curriculum(
             log_fn=log_fn,
             initial_state=state,
             epoch_offset=offset,
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every,
         )
         history["train"].extend(h["train"])
         history["val"].extend(h["val"])

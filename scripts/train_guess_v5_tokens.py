@@ -56,7 +56,9 @@ def main():
         guess_tokens=TOKENS,
     )
     t0 = time.time()
-    state, history = fit_fov_curriculum(cfg, log_fn=log_fn)
+    state, history = fit_fov_curriculum(
+        cfg, log_fn=log_fn, checkpoint_dir="artifacts/ckpt_v5_tokens_live"
+    )
     with open(OUT, "wb") as f:
         pickle.dump(
             {"params": state.params, "batch_stats": state.batch_stats}, f
