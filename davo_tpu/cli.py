@@ -206,7 +206,9 @@ def main(argv=None):
         "--stitch",
         default="global",
         help="window stitching: global (overlap-consistent joint "
-        "centre/scale solve) | chain (greedy single-pair scale chaining)",
+        "centre/scale solve) | robust (global + Huber-IRLS edge weights "
+        "that confine catastrophic window solves) | chain (greedy "
+        "single-pair scale chaining)",
     )
     vo_p.add_argument(
         "--stride",

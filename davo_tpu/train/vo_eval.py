@@ -24,6 +24,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from davo_tpu.utils import full_f32_matmuls as _full_f32_matmuls
 from davo_tpu.geometry import (
@@ -314,7 +315,11 @@ def _stitch_chain(starts, window_poses, num_frames: int) -> jax.Array:
 
 @_full_f32_matmuls
 def stitch_windows_global(
-    starts, window_poses, num_frames: int, rotation_iterations: int = 2
+    starts,
+    window_poses,
+    num_frames: int,
+    rotation_iterations: int = 2,
+    robust: bool = False,
 ) -> jax.Array:
     """Overlap-consistent global stitching of window-relative solves.
 
@@ -344,6 +349,13 @@ def stitch_windows_global(
     :param window_poses: list of ``(w, 6)`` window-relative poses, frame
         ``starts[i]`` = identity in each window's own gauge.
     :param num_frames: ``K``.
+    :param robust: Huber-IRLS downweighting of outlier edges in BOTH
+        solves, with a parameter-free MAD residual scale (weight
+        ``min(1, 1.4826 * median|r| / |r_e|)``). A single catastrophic
+        window solve (the measured failure mode of learned-matches VO —
+        ROADMAP round 2) otherwise poisons every frame through the
+        least-squares coupling; robust weights confine the damage to the
+        bad window's own frames.
     :return: ``(K, 6)`` absolute world->camera poses (frame 0 identity
         gauge, first window's scale).
     """
@@ -353,13 +365,46 @@ def stitch_windows_global(
     dtype = window_poses[0].dtype
     rel_rots = [so3_rotation_matrix(wp[:, 0:3]) for wp in window_poses]
 
-    # pass 1: greedy rotation chaining seeds the graph optimisation
+    # pass 1: rotation chaining seeds the graph optimisation.  Greedy
+    # (first-covering-window) chaining is exact-consistent with most
+    # edges; the robust path instead takes, per frame, the CONSENSUS
+    # candidate over all covering windows (the candidate closest to the
+    # others) — a catastrophic window must not poison the init, because
+    # Gauss-Newton cannot linearise its way back from a 60-degree-off
+    # node whose every edge looks like an outlier.
     rot = [None] * kf
     rot[0] = jnp.eye(3, dtype=dtype)
-    for wi, s in enumerate(starts):
-        for j in range(1, w):
-            if rot[s + j] is None:
-                rot[s + j] = rel_rots[wi][j] @ rot[s]
+    if robust:
+        cover = {}
+        for wi, s in enumerate(starts):
+            for j in range(1, w):
+                cover.setdefault(s + j, []).append((wi, s, j))
+        for f in range(1, kf):
+            cands = [
+                rel_rots[wi][j] @ rot[s]
+                for wi, s, j in cover.get(f, [])
+                if rot[s] is not None
+            ]
+            if len(cands) == 1:
+                rot[f] = cands[0]
+                continue
+            costs = [
+                sum(
+                    float(
+                        jnp.linalg.norm(
+                            axis_angle_from_matrix(c @ other.T)
+                        )
+                    )
+                    for other in cands
+                )
+                for c in cands
+            ]
+            rot[f] = cands[int(np.argmin(costs))]
+    else:
+        for wi, s in enumerate(starts):
+            for j in range(1, w):
+                if rot[s + j] is None:
+                    rot[s + j] = rel_rots[wi][j] @ rot[s]
 
     # pass 2: global rotation-graph Gauss-Newton.  Unknown tangent
     # perturbations delta_1..delta_{K-1} (frame 0 gauge-fixed); every
@@ -378,13 +423,33 @@ def stitch_windows_global(
             a_rot = a_rot.at[3 * e : 3 * e + 3, 3 * (s - 1) : 3 * s].add(
                 -eye3
             )
-    for _ in range(max(0, rotation_iterations)):
+    def _huber_row_scale(norms, floor):
+        # Huber IRLS weight: unit inside the scale, 1/|r| beyond it,
+        # returned as sqrt-weights for row scaling. The scale is the 70th
+        # percentile of residual norms (NOT the MAD: after consensus
+        # chaining most residuals are exactly zero, which collapses a
+        # median-based scale and downweights every informative edge)
+        # with an absolute floor below which residuals count as inliers.
+        scale = jnp.maximum(jnp.percentile(norms, 70.0), floor)
+        return jnp.sqrt(jnp.minimum(1.0, scale / jnp.maximum(norms, 1e-12)))
+
+    rot_iters = rotation_iterations + (2 if robust else 0)
+    for _ in range(max(0, rot_iters)):
         residuals = [
             axis_angle_from_matrix(rot[f] @ (r_edge @ rot[s]).T)
             for s, f, r_edge in edges
         ]
         b_rot = -jnp.concatenate(residuals)
-        delta = jnp.linalg.lstsq(a_rot, b_rot)[0].reshape(kf - 1, 3)
+        a_eff = a_rot
+        if robust:
+            sw = _huber_row_scale(
+                jnp.stack([jnp.linalg.norm(r) for r in residuals]),
+                floor=0.02,  # ~1 deg: rotation edges inside it are inliers
+            )
+            sw3 = jnp.repeat(sw, 3)
+            a_eff = a_rot * sw3[:, None]
+            b_rot = b_rot * sw3
+        delta = jnp.linalg.lstsq(a_eff, b_rot)[0].reshape(kf - 1, 3)
         rot = [rot[0]] + [
             so3_rotation_matrix(delta[f - 1]) @ rot[f] for f in range(1, kf)
         ]
@@ -414,6 +479,19 @@ def stitch_windows_global(
     a_mat = jnp.concatenate(rows, axis=0)
     b_vec = jnp.concatenate(rhs, axis=0)
     solution = jnp.linalg.lstsq(a_mat, b_vec)[0]
+    if robust:
+        # centre-residual floor relative to the window displacement scale
+        edge_len = jnp.linalg.norm(b_vec.reshape(-1, 3), axis=-1)
+        c_floor = 0.01 * jnp.maximum(jnp.max(edge_len), 1e-6)
+        for _ in range(4):
+            res = (a_mat @ solution - b_vec).reshape(-1, 3)
+            sw = _huber_row_scale(
+                jnp.linalg.norm(res, axis=-1), floor=c_floor
+            )
+            sw3 = jnp.repeat(sw, 3)
+            solution = jnp.linalg.lstsq(
+                a_mat * sw3[:, None], b_vec * sw3
+            )[0]
     centres = jnp.concatenate(
         [jnp.zeros((1, 3), dtype=dtype), solution[:nc].reshape(kf - 1, 3)]
     )
@@ -480,7 +558,7 @@ def solve_windowed_vo_learned(
             f"stride must be in [1, window - 2] = [1, {w - 2}] so that "
             f"consecutive windows overlap by >= 2 frames (got {stride})"
         )
-    if stitch not in ("chain", "global"):
+    if stitch not in ("chain", "global", "robust"):
         raise ValueError(f"unknown stitch mode {stitch!r}")
 
     if (frontend_fn is None) != (images is None):
@@ -507,8 +585,10 @@ def solve_windowed_vo_learned(
         window_poses.append(
             jnp.concatenate([jnp.zeros((1, 6), rel.dtype), rel], axis=0)
         )
-    if stitch == "global":
-        return stitch_windows_global(starts, window_poses, kf)
+    if stitch in ("global", "robust"):
+        return stitch_windows_global(
+            starts, window_poses, kf, robust=stitch == "robust"
+        )
     return _stitch_chain(starts, window_poses, kf)
 
 
