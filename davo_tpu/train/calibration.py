@@ -523,7 +523,23 @@ def fit(
         from .checkpoint import latest_step, restore_checkpoint
 
         resume_epoch = latest_step(checkpoint_dir)
+        if resume_epoch is not None and resume_epoch - epoch_offset < 0:
+            # checkpoint predates this stage (saved by an earlier
+            # curriculum stage) — nothing to resume here
+            resume_epoch = None
         if resume_epoch is not None:
+            num_epochs_local = epochs if epochs is not None else config.epochs
+            if resume_epoch - epoch_offset > num_epochs_local:
+                # checkpoint steps are GLOBAL epochs (epoch + 1 +
+                # epoch_offset); silently treating one as local made
+                # curriculum restarts skip stage 0 and retrain later
+                # stages under the wrong FOV distribution (ADVICE r2)
+                raise ValueError(
+                    f"checkpoint at global epoch {resume_epoch} is beyond "
+                    f"this stage (epoch_offset={epoch_offset}, "
+                    f"epochs={num_epochs_local}); use fit_fov_curriculum's "
+                    "cross-stage auto-resume or restore manually"
+                )
             # restore with an abstract target mirroring the live state so
             # orbax rebuilds the exact pytree structure (incl. the optax
             # chain's namedtuple nodes)
@@ -549,13 +565,14 @@ def fit(
                 opt_state=restored["opt_state"],
                 step=int(restored["step"]),
             )
-            start_epoch = resume_epoch
-            # advance the data-key stream past the consumed epochs (one
-            # split per train batch + one per val batch, mirroring the
-            # epoch loop) so the resumed run sees the batches an
+            start_epoch = resume_epoch - epoch_offset  # global -> local
+            # advance the data-key stream past the consumed LOCAL epochs
+            # (one split per train batch + one per val batch, mirroring
+            # the epoch loop; each stage's key stream restarts from the
+            # offset-folded key) so the resumed run sees the batches an
             # uninterrupted run would have seen
             for _ in range(
-                resume_epoch * (config.batches_per_epoch + config.val_batches)
+                start_epoch * (config.batches_per_epoch + config.val_batches)
             ):
                 key, _ = jax.random.split(key)
     train_step = make_train_step(network, config)
@@ -627,23 +644,50 @@ def fit_fov_curriculum(
     the cost of one train-step recompile each.
 
     ``checkpoint_dir`` forwards to :func:`fit` for periodic full-state
-    saves (a killed run loses at most ``checkpoint_every`` epochs).
-    Cross-stage auto-resume is NOT wired up — restore manually via
-    ``restore_checkpoint`` and restart the intended stage.
+    saves (a killed run loses at most ``checkpoint_every`` epochs), and
+    enables cross-stage auto-resume: checkpoint steps are global epochs,
+    so a restarted run skips fully-completed stages, resumes the
+    interrupted stage from its latest checkpoint (``fit`` maps the
+    global epoch back to a stage-local one via ``epoch_offset``), and
+    continues through the remaining stages.
     """
     remaining = config.epochs - sum(e for _, _, e in stages if e)
     flexible = [i for i, (_, _, e) in enumerate(stages) if not e]
     per_flex = max(remaining // max(len(flexible), 1), 0)
-    state = None
-    history = {"train": [], "val": []}
-    offset = 0
-    for i, (lo, hi, stage_epochs) in enumerate(stages):
+    resolved_epochs = []
+    for i, (_, _, stage_epochs) in enumerate(stages):
         if stage_epochs is None:
             stage_epochs = per_flex + (
                 remaining - per_flex * len(flexible)
                 if i == flexible[-1]
                 else 0
             )
+        resolved_epochs.append(stage_epochs)
+
+    resume_global = None
+    if checkpoint_dir is not None:
+        from .checkpoint import latest_step
+
+        resume_global = latest_step(checkpoint_dir)
+
+    state = None
+    history = {"train": [], "val": []}
+    offset = 0
+    for i, (lo, hi, _) in enumerate(stages):
+        stage_epochs = resolved_epochs[i]
+        if (
+            resume_global is not None
+            and resume_global >= offset + stage_epochs
+            and i < len(stages) - 1
+        ):
+            # (the last stage is never skipped: a fully-complete run
+            # resumes it with zero remaining epochs, which restores and
+            # returns the final checkpointed state)
+            # stage fully covered by the checkpoint: skip it. `state`
+            # stays None so the resumed stage's fit() restores from the
+            # checkpoint directory (initial_state=None path).
+            offset += stage_epochs
+            continue
         scene = dataclasses.replace(
             config.resolved_scene(), fov_min_degrees=lo, fov_max_degrees=hi
         )

@@ -350,11 +350,18 @@ def stitch_windows_global(
         ``starts[i]`` = identity in each window's own gauge.
     :param num_frames: ``K``.
     :param robust: Huber-IRLS downweighting of outlier edges in BOTH
-        solves, with a parameter-free MAD residual scale (weight
-        ``min(1, 1.4826 * median|r| / |r_e|)``). A single catastrophic
-        window solve (the measured failure mode of learned-matches VO —
-        ROADMAP round 2) otherwise poisons every frame through the
-        least-squares coupling; robust weights confine the damage to the
+        solves. The residual scale is the 70th percentile of residual
+        norms with absolute floors (NOT the MAD: after consensus
+        chaining most residuals are exactly zero, which collapses a
+        median scale and downweights every informative edge). Windows
+        whose rotation edges remain outliers after the robust rotation
+        pass are additionally hard-downweighted in the centre/scale
+        solve — IRLS alone cannot recover there because the unweighted
+        initial solution spreads the bad window's translation error
+        across edges by leverage. A single catastrophic window solve
+        (the measured failure mode of learned-matches VO — ROADMAP
+        round 2) otherwise poisons every frame through the
+        least-squares coupling; these weights confine the damage to the
         bad window's own frames.
     :return: ``(K, 6)`` absolute world->camera poses (frame 0 identity
         gauge, first window's scale).
@@ -388,18 +395,16 @@ def stitch_windows_global(
             if len(cands) == 1:
                 rot[f] = cands[0]
                 continue
-            costs = [
-                sum(
-                    float(
-                        jnp.linalg.norm(
-                            axis_angle_from_matrix(c @ other.T)
-                        )
-                    )
-                    for other in cands
-                )
-                for c in cands
-            ]
-            rot[f] = cands[int(np.argmin(costs))]
+            # stacked pairwise geodesic costs, fully traced (no host
+            # syncs). NB with exactly 2 candidates the symmetric costs
+            # always tie and argmin degenerates to the first (greedy)
+            # candidate — consensus only helps at coverage >= 3.
+            cand = jnp.stack(cands)  # (n, 3, 3)
+            pair = jnp.einsum("aij,bkj->abik", cand, cand)  # c_a @ c_b^T
+            ang = jnp.linalg.norm(
+                jax.vmap(jax.vmap(axis_angle_from_matrix))(pair), axis=-1
+            )
+            rot[f] = cand[jnp.argmin(ang.sum(axis=1))]
     else:
         for wi, s in enumerate(starts):
             for j in range(1, w):
@@ -454,6 +459,27 @@ def stitch_windows_global(
             so3_rotation_matrix(delta[f - 1]) @ rot[f] for f in range(1, kf)
         ]
 
+    # per-window outlier gate for the centre solve: windows whose
+    # rotation edges stay outliers after the robust rotation pass are
+    # known-bad, and their translation edges must not seed the centre
+    # least squares (leverage spreads their error across clean edges
+    # faster than percentile-IRLS can isolate it). Kept at a small
+    # nonzero weight so frames covered ONLY by a bad window remain
+    # determined (badly, but locally).
+    win_gate = None
+    if robust:
+        final_norms = jnp.stack(
+            [
+                jnp.linalg.norm(
+                    axis_angle_from_matrix(rot[f] @ (r_edge @ rot[s]).T)
+                )
+                for s, f, r_edge in edges
+            ]
+        )
+        win_res = final_norms.reshape(n_win, w - 1).max(axis=-1)
+        bad_thresh = jnp.maximum(3.0 * jnp.percentile(win_res, 70.0), 0.1)
+        win_gate = jnp.where(win_res > bad_thresh, 1e-3, 1.0)
+
     # joint linear least squares for centres c_1..c_{K-1} and window
     # scales s_1..s_{W-1} (c_0 = 0, s_0 = 1 fix the gauge)
     nc = 3 * (kf - 1)
@@ -478,20 +504,28 @@ def stitch_windows_global(
             rows.append(block)
     a_mat = jnp.concatenate(rows, axis=0)
     b_vec = jnp.concatenate(rhs, axis=0)
-    solution = jnp.linalg.lstsq(a_mat, b_vec)[0]
     if robust:
+        # robust-initialised: gate known-bad windows' edges BEFORE the
+        # first solve, then IRLS-refine from that clean solution
+        gate = jnp.repeat(win_gate, w - 1)  # rows follow edge order
+        gate3 = jnp.repeat(gate, 3)
+        solution = jnp.linalg.lstsq(
+            a_mat * gate3[:, None], b_vec * gate3
+        )[0]
         # centre-residual floor relative to the window displacement scale
         edge_len = jnp.linalg.norm(b_vec.reshape(-1, 3), axis=-1)
         c_floor = 0.01 * jnp.maximum(jnp.max(edge_len), 1e-6)
         for _ in range(4):
             res = (a_mat @ solution - b_vec).reshape(-1, 3)
-            sw = _huber_row_scale(
+            sw = gate * _huber_row_scale(
                 jnp.linalg.norm(res, axis=-1), floor=c_floor
             )
             sw3 = jnp.repeat(sw, 3)
             solution = jnp.linalg.lstsq(
                 a_mat * sw3[:, None], b_vec * sw3
             )[0]
+    else:
+        solution = jnp.linalg.lstsq(a_mat, b_vec)[0]
     centres = jnp.concatenate(
         [jnp.zeros((1, 3), dtype=dtype), solution[:nc].reshape(kf - 1, 3)]
     )

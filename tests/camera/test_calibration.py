@@ -212,6 +212,7 @@ class TestBasinScore:
         )
         assert np.all(np.asarray(score_bad) > np.asarray(err_bad))
 
+    @pytest.mark.slow
     def test_network_selection_option(self, key):
         # the network accepts selection="basin" and returns the same shape
         from davo_tpu.models import CalibrationNetwork

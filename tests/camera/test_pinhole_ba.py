@@ -191,6 +191,7 @@ class TestErrorAndGradient:
         np.testing.assert_allclose(grad, auto, rtol=1e-7, atol=1e-9)
         np.testing.assert_allclose(err, ba_error(params, data, CFG), rtol=1e-10)
 
+    @pytest.mark.slow
     def test_analytic_gradient_matches_autodiff_with_clamped_points(self, rng):
         # Points behind the camera exercise the straight-through clamp.
         params = _random_params(rng, batch=(2,))

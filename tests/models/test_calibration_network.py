@@ -39,6 +39,7 @@ def _init(network, batch, key):
     )
 
 
+@pytest.mark.slow
 def test_transformer_head_forward_and_grads(batch, key):
     import jax.numpy as jnp
 
@@ -156,6 +157,7 @@ def test_training_mode_runs_with_batchnorm_and_droppath(network, batch, key):
     assert np.all(np.isfinite(out))
 
 
+@pytest.mark.slow
 def test_gradients_flow_to_mlp_weights(network, batch, key):
     variables = _init(network, batch, key)
 

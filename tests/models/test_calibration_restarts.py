@@ -15,6 +15,7 @@ SOLVER = BFGSConfig(
 )
 
 
+@pytest.mark.slow
 def test_multi_start_never_worse_than_single(key):
     batch = generate_batch(key, 4, SceneConfig(num_views=M, num_points=N))
     single = CalibrationNetwork(
@@ -44,6 +45,7 @@ def test_multi_start_never_worse_than_single(key):
     assert np.all(np.asarray(err_multi) <= np.asarray(err_single) + 1e-9)
 
 
+@pytest.mark.slow
 def test_multi_start_training_mode_uses_single_path(key):
     batch = generate_batch(key, 2, SceneConfig(num_views=M, num_points=N))
     multi = CalibrationNetwork(

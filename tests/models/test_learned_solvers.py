@@ -52,6 +52,7 @@ def _error_fn(target):
     ],
     ids=["mlp", "mlp-recurrent", "transformer", "transformer-recurrent"],
 )
+@pytest.mark.slow
 def test_learned_solver_runs_and_is_trainable(module, rng, key):
     target = jnp.asarray(rng.normal(size=(2, 3, P)))
     x0 = jnp.asarray(rng.normal(size=(2, 3, P)))

@@ -1,3 +1,4 @@
+import pytest
 import jax
 import numpy as np
 
@@ -22,6 +23,7 @@ TINY = CalibrationExperiment(
 )
 
 
+@pytest.mark.slow
 def test_ate_metrics_shape_and_finiteness(key):
     network, state = create_train_state(TINY, key)
     out = evaluate_calibration_ate(network, state, TINY, key, batches=2)

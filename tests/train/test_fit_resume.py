@@ -46,3 +46,47 @@ def test_fit_checkpoints_and_resumes(tmp_path):
     # the optimiser state round-tripped (adam moments are non-zero)
     leaves = jax.tree_util.tree_leaves(state_b.opt_state)
     assert any(float(np.max(np.abs(np.asarray(l)))) > 0 for l in leaves)
+
+
+def test_curriculum_cross_stage_resume(tmp_path):
+    """A killed curriculum run resumes in the right stage (ADVICE r2).
+
+    Previously checkpoints held GLOBAL epochs but fit() resumed treating
+    them as local: stage 0 silently skipped its epochs and later stages
+    retrained under the wrong FOV distribution.
+    """
+    from davo_tpu.train import fit_fov_curriculum
+
+    config = _config()
+    ckpt = str(tmp_path / "run")
+    stages = ((40.0, 60.0, 2), (30.0, 120.0, 2))
+
+    class Kill(Exception):
+        pass
+
+    def killing_log(split, epoch, metrics):
+        # raise on the first epoch of stage 1 (global epoch 2)
+        if split == "train" and epoch == 2:
+            raise Kill()
+
+    try:
+        fit_fov_curriculum(
+            config, stages, log_fn=killing_log,
+            checkpoint_dir=ckpt, checkpoint_every=1,
+        )
+        raise AssertionError("kill never fired")
+    except Kill:
+        pass
+
+    # resume: stage 0 must be skipped (already checkpointed), stage 1
+    # restores from the end-of-stage-0 checkpoint and trains its 2 epochs
+    seen = []
+    state, hist = fit_fov_curriculum(
+        config, stages,
+        log_fn=lambda s, e, m: seen.append((s, e)),
+        checkpoint_dir=ckpt, checkpoint_every=1,
+    )
+    train_epochs = [e for s, e in seen if s == "train"]
+    assert train_epochs == [2, 3], train_epochs
+    assert int(state.step) == 4 * config.batches_per_epoch
+    assert len(hist["train"]) == 2

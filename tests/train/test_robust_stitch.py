@@ -3,7 +3,9 @@
 The learned-matches campaign measured single catastrophic window solves
 poisoning the whole trajectory through the global least-squares coupling
 (ROADMAP round 2); ``stitch_windows_global(robust=True)`` downweights
-outlier edges with a parameter-free MAD scale so the damage stays local.
+outlier edges with a percentile-based Huber scale (with absolute
+floors) and hard-gates known-bad windows out of the centre solve so the
+damage stays local.
 """
 
 import jax

@@ -31,6 +31,7 @@ def test_cameras_see_most_points(key):
     assert float(jnp.mean(visibility.astype(jnp.float32))) > 0.5
 
 
+@pytest.mark.slow
 def test_windowed_vo_beats_noisy_prior(key):
     poses, points, pixels, visibility = generate_trajectory(key, CFG)
     k = jax.random.fold_in(key, 1)
@@ -203,6 +204,7 @@ class TestLearnedVO:
         with _pytest.raises(ValueError):
             solve_windowed_vo_learned(lambda p, v: None, pixels, visibility, cfg)
 
+    @pytest.mark.slow
     def test_untrained_network_runs_end_to_end(self, key):
         import jax
         from davo_tpu.models import CalibrationNetwork
@@ -380,6 +382,7 @@ class TestGlobalRefinement:
         out = _rescale_segments(poses, jnp.zeros(7))
         np.testing.assert_allclose(out, poses, atol=1e-5)
 
+    @pytest.mark.slow
     def test_multistart_escapes_scale_drift_minimum(self, key):
         """A strongly drifted trajectory whose single-start refinement
         stays trapped must be recovered by the multi-hypothesis scale-mode
