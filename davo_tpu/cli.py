@@ -31,6 +31,8 @@ def _add_common(p):
     )
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--batches-per-epoch", type=int, default=None)
+    p.add_argument("--val-batches", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--metrics-file", default=None, help="JSONL metrics log")
@@ -66,6 +68,8 @@ def _apply_overrides(config, args):
     for field in (
         "epochs",
         "batch_size",
+        "batches_per_epoch",
+        "val_batches",
         "seed",
         "head",
         "learning_rate",
@@ -462,9 +466,18 @@ def main(argv=None):
             updates["recurrent"] = False
         if updates:
             ls_cfg = dataclasses.replace(ls_cfg, **updates)
+        from davo_tpu.train.runs import make_run_manifest, register_run
+
+        manifest = make_run_manifest(
+            ls_cfg, name="fit-learned-solver",
+            tags={"command": args.command},
+        )
+        register_run(manifest)
         logger = MetricsLogger(
-        args.metrics_file, tensorboard_dir=getattr(args, "tensorboard_dir", None)
-    )
+            args.metrics_file,
+            tensorboard_dir=getattr(args, "tensorboard_dir", None),
+            run=manifest,
+        )
         network, state, history = fit_learned_solver(ls_cfg, log_fn=logger)
         table = compare_with_bfgs(
             network, state, ls_cfg, jax.random.key(ls_cfg.seed + 1)
@@ -501,9 +514,17 @@ def main(argv=None):
             )
         if updates:
             fe_cfg = dataclasses.replace(fe_cfg, **updates)
+        from davo_tpu.train.runs import make_run_manifest, register_run
+
+        manifest = make_run_manifest(
+            fe_cfg, name="fit-frontend", tags={"command": args.command}
+        )
+        register_run(manifest, checkpoint_dir=args.checkpoint_dir)
         logger = MetricsLogger(
-        args.metrics_file, tensorboard_dir=getattr(args, "tensorboard_dir", None)
-    )
+            args.metrics_file,
+            tensorboard_dir=getattr(args, "tensorboard_dir", None),
+            run=manifest,
+        )
         state, history = fit_frontend(fe_cfg, log_fn=logger)
         if args.checkpoint_dir:
             import os
@@ -688,8 +709,30 @@ def main(argv=None):
     else:
         config = get_preset(args.preset)
     config = _apply_overrides(config, args)
+    run_manifest = None
+    if args.command == "fit":
+        from davo_tpu.train.runs import make_run_manifest, register_run
+
+        run_manifest = make_run_manifest(
+            config,
+            name=getattr(args, "config", None) or args.preset,
+            tags={"command": args.command},
+        )
+        register_run(run_manifest, checkpoint_dir=args.checkpoint_dir)
+        print(
+            json.dumps(
+                {
+                    "run_id": run_manifest["run_id"],
+                    "config_hash": run_manifest["config_hash"],
+                    "git_sha": run_manifest["git_sha"],
+                }
+            ),
+            flush=True,
+        )
     logger = MetricsLogger(
-        args.metrics_file, tensorboard_dir=getattr(args, "tensorboard_dir", None)
+        args.metrics_file,
+        tensorboard_dir=getattr(args, "tensorboard_dir", None),
+        run=run_manifest,
     )
 
     if not isinstance(config, CalibrationExperiment):

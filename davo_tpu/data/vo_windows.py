@@ -47,6 +47,18 @@ class VOWindowConfig:
     # head trained on exact projections is brittle to the ~0.01-0.05
     # coordinate noise of learned matches.
     pixel_noise: float = 0.0
+    # Verified-match-distribution augmentation (round-2 diagnosis,
+    # scripts/diagnose_learned_matches.py): the visual front-end's
+    # verification gates leave only ~2-5 of 8 matches per non-anchor
+    # view, and ~2% of survivors are wrong assignments.  A guess head
+    # trained on full-visibility exact windows is OOD there.
+    # Per non-anchor view m, draw d_m ~ U(0, visibility_dropout) and
+    # drop each visible observation with probability d_m.
+    visibility_dropout: float = 0.0
+    # Per visible non-anchor observation, with this probability replace
+    # the pixel by ANOTHER point's projection in the same view (a
+    # verified-but-wrong assignment; stays marked visible).
+    outlier_fraction: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
 
@@ -108,6 +120,25 @@ def _generate_one(key: jax.Array, config: VOWindowConfig) -> CameraViewsAndPoint
     visibility = (
         (u > -1.0) & (u < 1.0) & (v > -1.0) & (v < 1.0) & (rel[..., 2] > 0.1)
     )
+    if config.outlier_fraction > 0.0:
+        k_sel, k_other = jax.random.split(jax.random.fold_in(key, 102))
+        swap = jax.random.bernoulli(
+            k_sel, config.outlier_fraction, (m, n)
+        ) & visibility
+        swap = swap.at[0].set(False)  # anchor view stays clean
+        # wrong assignment: another point's projection in the same view
+        shift = jax.random.randint(k_other, (m, n), 1, n)
+        other = (jnp.arange(n)[None, :] + shift) % n
+        wrong_pix = jnp.take_along_axis(projected, other[..., None], axis=1)
+        projected = jnp.where(swap[..., None], wrong_pix, projected)
+    if config.visibility_dropout > 0.0:
+        k_rate, k_drop = jax.random.split(jax.random.fold_in(key, 103))
+        rate = jax.random.uniform(
+            k_rate, (m, 1), dtype, 0.0, config.visibility_dropout
+        )
+        drop = jax.random.bernoulli(k_drop, rate, (m, n))
+        drop = drop.at[0].set(False)  # anchor view keeps its detections
+        visibility = visibility & ~drop
     return CameraViewsAndPoints(
         projected_points=projected,
         visibility_mask=visibility,

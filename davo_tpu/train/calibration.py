@@ -102,6 +102,11 @@ class CalibrationExperiment:
     # Observation-noise augmentation std on the training projections
     # (robustness to learned-match coordinate noise; 0 = exact oracle).
     pixel_noise: float = 0.0
+    # Verified-match-distribution augmentation (vo_windows source only):
+    # per-view visibility dropout cap and wrong-assignment fraction —
+    # see davo_tpu.data.VOWindowConfig.
+    visibility_dropout: float = 0.0
+    outlier_fraction: float = 0.0
     seed: int = 0
     dtype: Any = jnp.float32
     scene: Optional[SceneConfig] = None
@@ -147,6 +152,8 @@ class CalibrationExperiment:
                 num_views=self.num_views,
                 num_points=self.num_points,
                 pixel_noise=self.pixel_noise,
+                visibility_dropout=self.visibility_dropout,
+                outlier_fraction=self.outlier_fraction,
                 dtype=self.dtype,
             )
             return lambda key, batch_size: generate_vo_window_batch(

@@ -31,10 +31,17 @@ class MetricsLogger:
         self,
         path: Optional[str] = None,
         tensorboard_dir: Optional[str] = None,
+        run: Optional[dict] = None,
     ):
         self.path = path
+        self.run = run
         self._start = time.time()
         self._writer = None
+        if run is not None and path:
+            # provenance header: first JSONL record carries the run
+            # manifest (run_id, config hash, git SHA — train/runs.py)
+            with open(path, "a") as f:
+                f.write(json.dumps({"run": run}) + "\n")
         if tensorboard_dir:
             from torch.utils.tensorboard import SummaryWriter
 

@@ -94,3 +94,50 @@ def test_training_harness_integration(key):
     step = make_train_step(network, cfg)
     _, metrics = step(state, jax.random.fold_in(key, 1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_verified_match_augmentation(key):
+    """visibility_dropout + outlier_fraction model the verified-match
+    distribution: anchor view untouched, other views lose observations
+    and gain a few wrong-but-visible assignments."""
+    import dataclasses
+
+    from davo_tpu.data import VOWindowConfig, generate_vo_window_batch
+
+    clean_cfg = VOWindowConfig(num_views=4, num_points=8)
+    aug_cfg = dataclasses.replace(
+        clean_cfg, visibility_dropout=0.8, outlier_fraction=0.1
+    )
+    clean = generate_vo_window_batch(key, 64, clean_cfg)
+    aug = generate_vo_window_batch(key, 64, aug_cfg)
+
+    # scene geometry identical (same key): true params unchanged
+    assert jnp.allclose(clean.camera_intrinsics, aug.camera_intrinsics)
+    assert jnp.allclose(clean.world_points, aug.world_points)
+
+    # anchor view clean: same visibility, same pixels
+    assert jnp.array_equal(
+        clean.visibility_mask[:, 0], aug.visibility_mask[:, 0]
+    )
+    assert jnp.allclose(
+        clean.projected_points[:, 0], aug.projected_points[:, 0]
+    )
+
+    # non-anchor views: visibility only ever drops, and drops a lot on
+    # average (d ~ U(0, 0.8) -> mean 40% of visible obs dropped)
+    assert bool(jnp.all(aug.visibility_mask <= clean.visibility_mask))
+    kept = aug.visibility_mask[:, 1:].sum() / jnp.maximum(
+        clean.visibility_mask[:, 1:].sum(), 1
+    )
+    assert 0.3 < float(kept) < 0.85
+
+    # outliers: some still-visible non-anchor pixels moved to another
+    # point's projection (clean pixels elsewhere in the same view)
+    moved = (
+        jnp.abs(aug.projected_points - clean.projected_points).max(-1) > 1e-6
+    ) & clean.visibility_mask
+    frac = moved[:, 1:].sum() / jnp.maximum(
+        clean.visibility_mask[:, 1:].sum(), 1
+    )
+    assert 0.02 < float(frac) < 0.25
+    assert not bool(moved[:, 0].any())

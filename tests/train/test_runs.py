@@ -1,0 +1,81 @@
+"""Run provenance: manifest round-trip through CLI fit, registry, metrics
+header (reference MLflow parity — camera_calibration_from_oracle_matches.py:56-69)."""
+
+import json
+import os
+import subprocess
+import sys
+
+from davo_tpu.train.runs import (
+    config_to_jsonable,
+    make_run_manifest,
+    register_run,
+)
+from davo_tpu.train import CalibrationExperiment
+
+
+def test_manifest_fields_and_config_hash_stability():
+    cfg = CalibrationExperiment(num_views=3, num_points=4)
+    m1 = make_run_manifest(cfg, name="t", tags={"a": "b"})
+    m2 = make_run_manifest(cfg)
+    assert m1["run_id"] != m2["run_id"]
+    assert m1["config_hash"] == m2["config_hash"]  # same config, same hash
+    assert m1["tags"] == {"a": "b"}
+    assert m1["git_sha"] is None or len(m1["git_sha"]) == 40
+    # the full config is JSON-round-trippable
+    assert json.loads(json.dumps(m1["config"]))["num_views"] == 3
+    # a different config hashes differently
+    m3 = make_run_manifest(
+        CalibrationExperiment(num_views=4, num_points=4)
+    )
+    assert m3["config_hash"] != m1["config_hash"]
+
+
+def test_register_run_round_trip(tmp_path):
+    cfg = CalibrationExperiment(num_views=3, num_points=4)
+    manifest = make_run_manifest(cfg, name="round-trip")
+    ckpt = tmp_path / "ckpt"
+    reg = register_run(
+        manifest,
+        registry_dir=str(tmp_path / "runs"),
+        checkpoint_dir=str(ckpt),
+    )
+    lines = [json.loads(l) for l in open(reg)]
+    assert lines[-1]["run_id"] == manifest["run_id"]
+    assert lines[-1]["config_hash"] == manifest["config_hash"]
+    assert "config" not in lines[-1]  # registry stays small
+    stamped = json.load(open(ckpt / "run_manifest.json"))
+    assert stamped["run_id"] == manifest["run_id"]
+    assert stamped["config"] == config_to_jsonable(cfg)
+
+
+def test_cli_fit_writes_manifest_and_jsonl_header(tmp_path):
+    """`cli fit` stamps run provenance everywhere (VERDICT r2 missing #1)."""
+    metrics = tmp_path / "metrics.jsonl"
+    ckpt = tmp_path / "ckpt"
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo_root)
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "davo_tpu.cli", "fit",
+            "--platform", "cpu",
+            "--preset", "calibration_from_oracle_matches",
+            "--epochs", "1", "--batches-per-epoch", "1", "--val-batches", "1",
+            "--batch-size", "4", "--hidden-size", "8",
+            "--metrics-file", str(metrics),
+            "--checkpoint-dir", str(ckpt),
+        ],
+        capture_output=True, text=True, timeout=240,
+        cwd=str(tmp_path), env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    header = json.loads(open(metrics).readline())
+    assert "run" in header and "run_id" in header["run"]
+    stamped = json.load(open(ckpt / "run_manifest.json"))
+    assert stamped["run_id"] == header["run"]["run_id"]
+    registry = tmp_path / "artifacts" / "runs" / "registry.jsonl"
+    assert registry.exists()
+    reg_line = json.loads(open(registry).readline())
+    assert reg_line["run_id"] == stamped["run_id"]
