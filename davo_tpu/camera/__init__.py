@@ -15,6 +15,12 @@ from .distortion import (
     distorted_project,
     distorted_project_and_jacobian,
 )
+from .distorted_calibration import (
+    DistortedSceneConfig,
+    generate_distorted_scenes,
+    refine_distorted,
+    evaluate_distorted_calibration,
+)
 from .model_protocol import IOptimisableFunction, PinholeCameraModelL1
 from .simple_parameters import (
     SimpleCameraModelParameters,
@@ -49,6 +55,10 @@ __all__ = [
     "NUM_DISTORTED_PARAMS",
     "distorted_project",
     "distorted_project_and_jacobian",
+    "DistortedSceneConfig",
+    "generate_distorted_scenes",
+    "refine_distorted",
+    "evaluate_distorted_calibration",
     "IOptimisableFunction",
     "PinholeCameraModelL1",
     "SimpleCameraModelParameters",

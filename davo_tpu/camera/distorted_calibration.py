@@ -1,0 +1,173 @@
+"""Distorted-camera calibration pipeline (Brown–Conrady + LM refinement).
+
+The reference ships the 16-parameter distorted model with a complete
+closed-form Jacobian "intended for Gauss–Newton"
+(``camera_model/distorted_camera_model.py:114-385``, ``:137-140``) but no
+pipeline ever calls it — its only harness is an interactive plotting
+script (``tests/camera_model/test_distorted_camera_model.py:31-80``).
+This module is that missing pipeline, TPU-style: batched synthetic scenes
+with known distortion, and a lockstep Levenberg–Marquardt refinement
+(:func:`davo_tpu.solve.least_squares.levenberg_marquardt`) recovering all
+16 parameters (intrinsics + skew, radial k1..k3, tangential p1/p2, Euler
+extrinsics) from observed pixels of known world points.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from davo_tpu.solve.least_squares import LMConfig, levenberg_marquardt
+from .distortion import (
+    NUM_DISTORTED_PARAMS,
+    distorted_project,
+    distorted_project_and_jacobian,
+)
+
+__all__ = [
+    "DistortedSceneConfig",
+    "generate_distorted_scenes",
+    "refine_distorted",
+    "evaluate_distorted_calibration",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class DistortedSceneConfig:
+    """Sampling ranges for synthetic distorted-calibration scenes.
+
+    One scene = one camera observing ``num_points`` known world points
+    (a resectioning/calibration-target setup: 2N observations constrain
+    the 16 parameters; ``num_points >= 16`` keeps the system comfortably
+    over-determined and non-degenerate).
+    """
+
+    num_points: int = 32
+    points_spread: float = 2.0  # xy extent of the target cloud
+    points_depth_spread: float = 1.5  # z extent (non-coplanar target)
+    camera_distance: float = 6.0
+    focal_range: Tuple[float, float] = (1.2, 2.2)
+    skew_range: Tuple[float, float] = (-0.02, 0.02)
+    centre_range: Tuple[float, float] = (-0.2, 0.2)
+    k1_range: Tuple[float, float] = (-0.15, 0.15)
+    k2_range: Tuple[float, float] = (-0.05, 0.05)
+    k3_range: Tuple[float, float] = (-0.01, 0.01)
+    p_range: Tuple[float, float] = (-0.01, 0.01)
+    rotation_range: Tuple[float, float] = (-0.2, 0.2)
+    dtype: jnp.dtype = jnp.float32
+
+
+def generate_distorted_scenes(
+    key: jax.Array, batch: int, config: DistortedSceneConfig = DistortedSceneConfig()
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Sample ``batch`` scenes.
+
+    :return: ``(world_points (B,N,3), pixels (B,N,2), true_params (B,16))``
+        with pixels the exact distorted projections of the points.
+    """
+    dtype = config.dtype
+    n = config.num_points
+    keys = jax.random.split(key, 6)
+
+    xy = config.points_spread * jax.random.uniform(
+        keys[0], (batch, n, 2), dtype, -1.0, 1.0
+    )
+    z = config.points_depth_spread * jax.random.uniform(
+        keys[1], (batch, n, 1), dtype, -1.0, 1.0
+    )
+    world = jnp.concatenate([xy, z], axis=-1)
+
+    def uni(k, lo, hi, shape=(batch,)):
+        return jax.random.uniform(k, shape, dtype, lo, hi)
+
+    k_int = jax.random.split(keys[2], 6)
+    fx = uni(k_int[0], *config.focal_range)
+    fy = uni(k_int[1], *config.focal_range)
+    s = uni(k_int[2], *config.skew_range)
+    cx = uni(k_int[3], *config.centre_range)
+    cy = uni(k_int[4], *config.centre_range)
+
+    k_dist = jax.random.split(keys[3], 5)
+    k1 = uni(k_dist[0], *config.k1_range)
+    k2 = uni(k_dist[1], *config.k2_range)
+    k3 = uni(k_dist[2], *config.k3_range)
+    p1 = uni(k_dist[3], *config.p_range)
+    p2 = uni(k_dist[4], *config.p_range)
+
+    k_ext = jax.random.split(keys[4], 4)
+    rx = uni(k_ext[0], *config.rotation_range)
+    ry = uni(k_ext[1], *config.rotation_range)
+    rz = uni(k_ext[2], *config.rotation_range)
+    t_xy = 0.3 * jax.random.normal(keys[5], (batch, 2), dtype)
+    tz = config.camera_distance + uni(k_ext[3], -1.0, 1.0)
+
+    params = jnp.stack(
+        [cx, cy, k1, k2, k3, p1, p2, fx, s, fy, rx, ry, rz,
+         t_xy[:, 0], t_xy[:, 1], tz],
+        axis=-1,
+    )
+    pixels = distorted_project(world, params)
+    return world, pixels, params
+
+
+def refine_distorted(
+    world_points: jax.Array,
+    pixels: jax.Array,
+    initial_params: jax.Array,
+    config: LMConfig = LMConfig(iterations=60),
+) -> jax.Array:
+    """LM-refine the 16 parameters against observed pixels.
+
+    Residuals are the flattened ``2N`` reprojection differences; the
+    ``(2N, 16)`` Jacobian comes from
+    :func:`davo_tpu.camera.distorted_project_and_jacobian` (forward-mode,
+    equal to the reference's closed form).  Batched over leading dims.
+    """
+
+    def residual_and_jacobian(params):
+        proj, jac = distorted_project_and_jacobian(world_points, params)
+        res = (proj - pixels).reshape(*params.shape[:-1], -1)
+        jac = jac.reshape(*params.shape[:-1], res.shape[-1], NUM_DISTORTED_PARAMS)
+        return res, jac
+
+    return levenberg_marquardt(residual_and_jacobian, initial_params, config)
+
+
+def evaluate_distorted_calibration(
+    key: jax.Array,
+    batch: int = 16,
+    perturbation: float = 0.02,
+    pixel_noise: float = 0.0,
+    scene: DistortedSceneConfig = DistortedSceneConfig(),
+    lm: LMConfig = LMConfig(iterations=60),
+) -> dict:
+    """End-to-end recovery metrics: perturbed start -> LM -> parameter errors.
+
+    :param perturbation: std of the Gaussian start offset applied to every
+        parameter (the translation gets 5x: its scale is ~the camera
+        distance).
+    :return: dict with max/mean absolute parameter error and rms
+        reprojection residual after refinement.
+    """
+    k_scene, k_pert, k_noise = jax.random.split(key, 3)
+    world, pixels, true_params = generate_distorted_scenes(k_scene, batch, scene)
+    if pixel_noise > 0.0:
+        pixels = pixels + pixel_noise * jax.random.normal(
+            k_noise, pixels.shape, pixels.dtype
+        )
+    scale = jnp.ones((NUM_DISTORTED_PARAMS,), true_params.dtype).at[13:16].set(5.0)
+    start = true_params + perturbation * scale * jax.random.normal(
+        k_pert, true_params.shape, true_params.dtype
+    )
+    refined = refine_distorted(world, pixels, start, lm)
+    err = jnp.abs(refined - true_params)
+    final_res = distorted_project(world, refined) - pixels
+    return {
+        "max_param_error": float(jnp.max(err)),
+        "mean_param_error": float(jnp.mean(err)),
+        "rms_residual": float(jnp.sqrt(jnp.mean(jnp.square(final_res)))),
+        "start_max_param_error": float(jnp.max(jnp.abs(start - true_params))),
+    }

@@ -191,6 +191,19 @@ def main(argv=None):
     ls_p.add_argument("--metrics-file", default=None)
     ls_p.add_argument("--tensorboard-dir", default=None)
     ls_p.add_argument("--platform", default=None)
+    dist_p = sub.add_parser(
+        "eval-distorted",
+        help="Brown-Conrady distorted calibration: LM recovery of all 16 "
+        "parameters from observed pixels of known world points",
+    )
+    dist_p.add_argument("--batches", type=int, default=4)
+    dist_p.add_argument("--batch-size", type=int, default=16)
+    dist_p.add_argument("--points", type=int, default=32)
+    dist_p.add_argument("--perturbation", type=float, default=0.02)
+    dist_p.add_argument("--pixel-noise", type=float, default=0.0)
+    dist_p.add_argument("--lm-iterations", type=int, default=60)
+    dist_p.add_argument("--seed", type=int, default=0)
+    dist_p.add_argument("--platform", default=None)
     vo_p = sub.add_parser(
         "vo-eval", help="full learned VO on synthetic sequences"
     )
@@ -361,6 +374,37 @@ def main(argv=None):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+
+    if args.command == "eval-distorted":
+        import jax.numpy as jnp
+
+        from davo_tpu.camera import (
+            DistortedSceneConfig,
+            evaluate_distorted_calibration,
+        )
+        from davo_tpu.solve.least_squares import LMConfig
+
+        results = []
+        for i in range(args.batches):
+            results.append(
+                evaluate_distorted_calibration(
+                    jax.random.key(args.seed + i),
+                    batch=args.batch_size,
+                    perturbation=args.perturbation,
+                    pixel_noise=args.pixel_noise,
+                    scene=DistortedSceneConfig(num_points=args.points),
+                    lm=LMConfig(iterations=args.lm_iterations),
+                )
+            )
+        avg = {
+            k: float(sum(r[k] for r in results) / len(results))
+            for k in results[0]
+        }
+        avg["worst_max_param_error"] = float(
+            max(r["max_param_error"] for r in results)
+        )
+        print(json.dumps(avg))
+        return 0
 
     if args.command == "eval-seq":
         from davo_tpu.data.sequences import (
