@@ -96,6 +96,95 @@ def _apply_overrides(config, args):
     return config
 
 
+def _load_guess_fn(
+    checkpoint: str,
+    window: int,
+    points: int,
+    restarts: int = 8,
+    hidden_size=None,
+    transformer_layers=None,
+    transformer_heads=None,
+):
+    """Build a jitted guess+solve fn from a `.pkl` guess checkpoint
+    (the vo-eval/eval-seq learned path's window solver)."""
+    import pickle
+
+    import jax
+
+    from davo_tpu.train import get_preset
+
+    net_cfg = dataclasses.replace(
+        get_preset("calibration_transformer_curriculum"),
+        num_views=window,
+        num_points=points,
+        num_restarts=restarts,
+    )
+    for field, value in (
+        ("hidden_size", hidden_size),
+        ("transformer_layers", transformer_layers),
+        ("transformer_heads", transformer_heads),
+    ):
+        if value is not None:
+            net_cfg = dataclasses.replace(net_cfg, **{field: value})
+    net = net_cfg.build_network()
+    with open(checkpoint, "rb") as f:
+        restored = pickle.load(f)
+    variables = {
+        "params": restored["params"],
+        "batch_stats": restored.get("batch_stats", {}),
+    }
+
+    @jax.jit
+    def guess_fn(pw, vw):
+        return net.apply(variables, pw, vw)
+
+    return guess_fn
+
+
+def _load_frontend_fn(
+    frontend_checkpoint: str,
+    default_points: int,
+    image_size: int = 64,
+    **gates,
+):
+    """Build a jitted front-end fn (+ its RenderConfig) from a
+    `fit-frontend` checkpoint directory. ``gates`` override the
+    VOFrontend verification-gate defaults."""
+    import os
+
+    import jax
+
+    from davo_tpu.data.rendering import RenderConfig
+    from davo_tpu.models import VOFrontend
+    from davo_tpu.train import restore_checkpoint
+
+    arch_path = os.path.join(frontend_checkpoint, "frontend_config.json")
+    arch = {}
+    if os.path.exists(arch_path):
+        with open(arch_path) as f:
+            arch = json.load(f)
+    image_size = arch.pop("image_size", image_size)
+    render_config = RenderConfig(image_size=image_size)
+    frontend_net = VOFrontend(
+        num_select=arch.get("num_select", default_points),
+        descriptor_channels=arch.get("descriptor_channels", 64),
+        embedding_size=arch.get("embedding_size", 64),
+        **gates,
+    )
+    fe_restored = restore_checkpoint(frontend_checkpoint)
+    fe_vars = {
+        "params": fe_restored["params"],
+        "batch_stats": fe_restored.get("batch_stats", {}),
+    }
+
+    @jax.jit
+    def frontend_fn(images):
+        out = frontend_net.apply(fe_vars, images)
+        return out.matches, out.match_visibility
+
+    return frontend_fn, render_config
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="davo_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -149,6 +238,26 @@ def main(argv=None):
     seq_p.add_argument("--rpe-delta", type=int, default=1)
     seq_p.add_argument("--seed", type=int, default=0)
     seq_p.add_argument("--platform", default=None)
+    seq_p.add_argument(
+        "--checkpoint",
+        default=None,
+        help="guess-network .pkl: run the LEARNED windowed VO along the "
+        "file instead of the oracle-intrinsics solver",
+    )
+    seq_p.add_argument(
+        "--frontend-checkpoint",
+        default=None,
+        help="fit-frontend checkpoint dir: render frames along the file "
+        "and take every window's observations from the visual front-end "
+        "(end-to-end from pixels; requires --checkpoint)",
+    )
+    seq_p.add_argument("--restarts", type=int, default=8)
+    seq_p.add_argument("--hidden-size", type=int, default=None)
+    seq_p.add_argument("--transformer-layers", type=int, default=None)
+    seq_p.add_argument("--transformer-heads", type=int, default=None)
+    seq_p.add_argument(
+        "--stitch", default="global", help="global | robust | chain"
+    )
     fe_p = sub.add_parser(
         "fit-frontend",
         help="train the visual front-end (detector + attention matcher)",
@@ -471,6 +580,39 @@ def main(argv=None):
             evaluate_vo_sequence_file,
         )
 
+        guess_fn = None
+        frontend_fn = None
+        render_config = None
+        if args.checkpoint:
+            guess_fn = _load_guess_fn(
+                args.checkpoint,
+                args.window,
+                args.points,
+                restarts=args.restarts,
+                hidden_size=args.hidden_size,
+                transformer_layers=args.transformer_layers,
+                transformer_heads=args.transformer_heads,
+            )
+            if args.frontend_checkpoint:
+                # verification-gate defaults = the measured round-2
+                # diagnosis config (scripts/diagnose_learned_matches.py)
+                frontend_fn, render_config = _load_frontend_fn(
+                    args.frontend_checkpoint,
+                    args.points,
+                    nms_radius=0.1,
+                    centroid_refine_iters=2,
+                    snap_radius=0.08,
+                    cycle_threshold=0.08,
+                    quality_bonus=10.0,
+                    score_threshold=0.5,
+                )
+        elif args.frontend_checkpoint:
+            print(
+                "--frontend-checkpoint requires --checkpoint",
+                file=sys.stderr,
+            )
+            return 2
+
         metrics = evaluate_vo_sequence_file(
             args.gt,
             format=args.format,
@@ -479,6 +621,10 @@ def main(argv=None):
             intrinsics=intrinsics,
             max_frames=args.max_frames,
             num_points=args.points,
+            guess_fn=guess_fn,
+            frontend_fn=frontend_fn,
+            render_config=render_config,
+            stitch=args.stitch,
         )
         print(json.dumps({k: float(v) for k, v in metrics.items()}))
         return 0

@@ -1063,6 +1063,10 @@ def evaluate_vo_sequence_file(
     intrinsics: jax.Array | None = None,
     max_frames: int | None = None,
     num_points: int | None = None,
+    guess_fn=None,
+    frontend_fn=None,
+    render_config=None,
+    stitch: str = "global",
 ) -> Dict[str, jax.Array]:
     """Windowed VO along a trajectory **loaded from a file** (TUM/KITTI).
 
@@ -1070,6 +1074,18 @@ def evaluate_vo_sequence_file(
     synthesized along it (:func:`observations_for_poses` — no real images
     are shipped with trajectory benchmarks).  Reports aligned ATE plus
     drift-local RPE at delta = 1 frame.
+
+    Two solver paths:
+
+    * default (oracle observations): per-window BFGS with the known
+      intrinsics, overlap-consistent stitching (:func:`solve_windowed_vo`);
+    * **learned, from pixels** (``guess_fn`` given): the synthesized
+      observations are *rendered* to frames
+      (:func:`render_trajectory_images`) and, with ``frontend_fn``, every
+      window's observations come from the visual front-end (detector +
+      attention matcher) run on those images — real motion from the file,
+      end-to-end learned everything else.  ``guess_fn`` alone runs the
+      learned guess+solve on the oracle observations.
     """
     from davo_tpu.data.sequences import load_sequence
     from .evaluation import relative_pose_error
@@ -1100,10 +1116,26 @@ def evaluate_vo_sequence_file(
         config, num_frames=kf, num_points=n,
         focal_length=float(intrinsics[0]),
     )
-    estimates = solve_windowed_vo(
-        poses, points, pixels, visibility, seq_config, k_solve,
-        intrinsics=jnp.asarray(intrinsics, poses.dtype),
-    )
+    if guess_fn is not None:
+        images = None
+        if frontend_fn is not None:
+            images = render_trajectory_images(
+                pixels, visibility, jax.random.fold_in(key, 11), render_config
+            )
+        estimates = solve_windowed_vo_learned(
+            guess_fn,
+            pixels,
+            visibility,
+            seq_config,
+            stitch=stitch,
+            images=images,
+            frontend_fn=frontend_fn,
+        )
+    else:
+        estimates = solve_windowed_vo(
+            poses, points, pixels, visibility, seq_config, k_solve,
+            intrinsics=jnp.asarray(intrinsics, poses.dtype),
+        )
     est_centres = camera_centers_from_poses(estimates[:, 0:3], estimates[:, 3:6])
     true_centres = camera_centers_from_poses(poses[:, 0:3], poses[:, 3:6])
     metrics = absolute_trajectory_error(est_centres, true_centres)
