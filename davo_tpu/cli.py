@@ -287,7 +287,19 @@ def main(argv=None):
         help="train an MLP/transformer learned solver on the calibration "
         "objective and compare against BFGS at equal step budget",
     )
-    ls_p.add_argument("--solver-type", default="mlp", choices=("mlp", "transformer"))
+    ls_p.add_argument(
+        "--solver-type",
+        default="mlp",
+        choices=("mlp", "transformer", "direction"),
+        help="mlp/transformer: learned update rule; direction: train the "
+        "SearchDirectionHeuristic gate inside the real BFGS solve",
+    )
+    ls_p.add_argument(
+        "--loss-mode",
+        default=None,
+        choices=("final", "descent"),
+        help="final-objective loss, or per-step descent-aligned loss",
+    )
     ls_p.add_argument("--steps", type=int, default=None, help="solver steps")
     ls_p.add_argument("--epochs", type=int, default=None)
     ls_p.add_argument("--batch-size", type=int, default=None)
@@ -654,6 +666,8 @@ def main(argv=None):
                 updates[field] = value
         if args.no_recurrent:
             updates["recurrent"] = False
+        if getattr(args, "loss_mode", None):
+            updates["loss_mode"] = args.loss_mode
         if updates:
             ls_cfg = dataclasses.replace(ls_cfg, **updates)
         from davo_tpu.train.runs import make_run_manifest, register_run

@@ -129,7 +129,9 @@ class MLPSolver(nn.Module):
         error_fn: Callable[[jax.Array], jax.Array],
         *,
         training: bool = False,
+        return_trajectory: bool = False,
     ) -> jax.Array:
+        trajectory = []
         if self.recurrent:
             step = MLPSolverStep(
                 self.num_parameters,
@@ -139,6 +141,7 @@ class MLPSolver(nn.Module):
             )
             for _ in range(self.num_steps):
                 parameters = step(parameters, error_fn, training=training)
+                trajectory.append(parameters)
         else:
             for i in range(self.num_steps):
                 parameters = MLPSolverStep(
@@ -147,6 +150,9 @@ class MLPSolver(nn.Module):
                     self.line_search_hidden,
                     name=f"solver_step_{i}",
                 )(parameters, error_fn, training=training)
+                trajectory.append(parameters)
+        if return_trajectory:
+            return jnp.stack(trajectory)  # (num_steps, B, E, P)
         return parameters
 
 
@@ -255,6 +261,7 @@ class TransformerSolver(nn.Module):
         error_fn: Callable[[jax.Array], jax.Array],
         *,
         training: bool = False,
+        return_trajectory: bool = False,
     ) -> jax.Array:
         def make_step(name):
             return TransformerSolverStep(
@@ -267,17 +274,22 @@ class TransformerSolver(nn.Module):
             )
 
         history = None
+        trajectory = []
         if self.recurrent:
             step = make_step("solver_step")
             for _ in range(self.num_steps):
                 parameters, history = step(
                     parameters, error_fn, history, training=training
                 )
+                trajectory.append(parameters)
         else:
             for i in range(self.num_steps):
                 parameters, history = make_step(f"solver_step_{i}")(
                     parameters, error_fn, history, training=training
                 )
+                trajectory.append(parameters)
+        if return_trajectory:
+            return jnp.stack(trajectory)
         return parameters
 
 

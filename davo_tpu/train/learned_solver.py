@@ -68,9 +68,19 @@ def true_calibration_vector(batch: CameraViewsAndPoints) -> jax.Array:
 class LearnedSolverExperiment:
     """Train a learned solver on the calibration objective."""
 
-    solver_type: str = "mlp"  # "mlp" | "transformer"
+    solver_type: str = "mlp"  # "mlp" | "transformer" | "direction"
     num_steps: int = 5
     recurrent: bool = True
+    # Training signal (round-3, VERDICT r2 next #6):
+    #  - "final": objective value after the last step (round-2 signal —
+    #    measured to diverge: credit never reaches early steps).
+    #  - "descent": per-step descent-aligned loss, mean over steps of
+    #    err_t / stop_grad(err_{t-1}) — every step is rewarded for its OWN
+    #    relative decrease against a detached baseline.
+    # "direction" solver_type ignores this and trains the cheap
+    # SearchDirectionHeuristic gate INSIDE bfgs_solve (the gen-1
+    # IModifySearchDirections hook) on the final objective.
+    loss_mode: str = "final"
     num_views: int = 4
     num_points: int = 8
     hidden_size: int = 256
@@ -91,6 +101,15 @@ class LearnedSolverExperiment:
         return num_calibration_parameters(self.num_views, self.num_points)
 
     def build_network(self):
+        if self.solver_type == "direction":
+            from davo_tpu.models.learned_solvers import (
+                SearchDirectionHeuristic,
+            )
+
+            return SearchDirectionHeuristic(
+                num_parameters=self.num_parameters,
+                hidden_size=self.hidden_size,
+            )
         if self.solver_type == "mlp":
             return MLPSolver(
                 num_steps=self.num_steps,
@@ -150,9 +169,17 @@ def create_learned_solver_state(
     _, _, starts, error_fn = _make_problem(
         dataclasses.replace(config, batch_size=2), data_key
     )
-    variables = network.init(
-        {"params": init_key}, starts, error_fn, training=False
-    )
+    if config.solver_type == "direction":
+        variables = network.init(
+            {"params": init_key},
+            starts[:, 0, :],
+            jnp.zeros(()),
+            training=False,
+        )
+    else:
+        variables = network.init(
+            {"params": init_key}, starts, error_fn, training=False
+        )
     tx = optax.chain(
         optax.clip_by_global_norm(config.clip_norm),
         optax.adamw(config.learning_rate, weight_decay=config.weight_decay),
@@ -171,21 +198,78 @@ def make_learned_solver_step(network, config: LearnedSolverExperiment):
         _, _, starts, error_fn = _make_problem(config, key)
 
         def loss_fn(params):
-            solved, mutated = network.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                starts,
-                error_fn,
-                training=True,
-                mutable=["batch_stats"],
-            )
-            final_error = jnp.mean(error_fn(solved))
-            start_error = jnp.mean(error_fn(starts))
+            if config.solver_type == "direction":
+                # train the direction gate inside the real BFGS solve.
+                # BatchNorm runs on its stored statistics (the gate is
+                # called inside bfgs_solve's scan, where stat mutation
+                # would leak tracers); parameters remain trainable.
+                def direction_fn(direction, p, err, step_idx):
+                    return network.apply(
+                        {
+                            "params": params,
+                            "batch_stats": state.batch_stats,
+                        },
+                        direction,
+                        step_idx,
+                        training=False,
+                    )
+
+                flat = starts[:, 0, :]
+                flat_error = lambda q: error_fn(q[:, None, :])[:, 0]
+                solved = bfgs_solve(
+                    flat_error,
+                    flat,
+                    BFGSConfig(
+                        iterations=config.num_steps,
+                        training_iterations=config.num_steps,
+                        error_threshold=0.0,
+                        line_search_iterations=16,
+                        drop_path_p=0.0,
+                    ),
+                    training=True,
+                    direction_fn=direction_fn,
+                )
+                final_error = jnp.mean(flat_error(solved))
+                loss = final_error
+                new_stats = state.batch_stats
+                start_error = jnp.mean(flat_error(flat))
+            else:
+                trajectory, mutated = network.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    starts,
+                    error_fn,
+                    training=True,
+                    return_trajectory=True,
+                    mutable=["batch_stats"],
+                )
+                new_stats = mutated.get("batch_stats")
+                errors = jax.vmap(error_fn)(trajectory)  # (T, B, E)
+                final_error = jnp.mean(errors[-1])
+                start_error = jnp.mean(error_fn(starts))
+                if config.loss_mode == "descent":
+                    prev = jnp.concatenate(
+                        [
+                            error_fn(starts)[None],
+                            errors[:-1],
+                        ]
+                    )
+                    baseline = jax.lax.stop_gradient(
+                        jnp.maximum(prev, 1e-6)
+                    )
+                    loss = jnp.mean(errors / baseline)
+                elif config.loss_mode == "final":
+                    loss = final_error
+                else:
+                    raise ValueError(
+                        f"Unknown loss_mode: {config.loss_mode!r}"
+                    )
             metrics = {
-                "loss": final_error,
+                "loss": loss,
+                "final_error": final_error,
                 "start_error": start_error,
                 "improvement": start_error - final_error,
             }
-            return final_error, (metrics, mutated.get("batch_stats"))
+            return loss, (metrics, new_stats)
 
         grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(
             state.params
@@ -253,12 +337,30 @@ def compare_with_bfgs(
     def eval_batch(key):
         batch, truth, starts, error_fn = _make_problem(config, key)
         flat_error = lambda p: error_fn(p[:, None, :])[:, 0]
-        learned = network.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            starts,
-            error_fn,
-            training=False,
-        )[:, 0]
+        if config.solver_type == "direction":
+
+            def direction_fn(direction, p, err, step_idx):
+                return network.apply(
+                    {
+                        "params": state.params,
+                        "batch_stats": state.batch_stats,
+                    },
+                    direction,
+                    step_idx,
+                    training=False,
+                )
+
+            learned = bfgs_solve(
+                flat_error, starts[:, 0], bfgs_equal,
+                direction_fn=direction_fn,
+            )
+        else:
+            learned = network.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                starts,
+                error_fn,
+                training=False,
+            )[:, 0]
         rows = {}
         for name, solved in (
             ("start", starts[:, 0]),
