@@ -175,6 +175,29 @@ def calibration_error(
     return jnp.sum(distance * visibility_mask, axis=(-1, -2))
 
 
+def calibration_residuals(
+    parameters: jax.Array,
+    true_projected_points: jax.Array,
+) -> jax.Array:
+    """Per-observation reprojection angle distances ``(B..., M, N)``.
+
+    The un-reduced form of :func:`calibration_error` (no visibility
+    weighting) — the residual map for outlier diagnosis / IRLS
+    reweighting of learned matches."""
+    num_views = true_projected_points.shape[-3]
+    num_points = true_projected_points.shape[-2]
+    params = unpack_calibration_parameters(parameters, num_views, num_points)
+    rays = pixel_coordinates_to_homogeneous(
+        true_projected_points, params.intrinsics
+    )
+    relative_points = get_camera_relative_points(
+        world_points=params.world_points,
+        camera_translations=params.camera_translations,
+        camera_rotations=params.camera_rotations,
+    )
+    return projective_plane_angle_distance(rays, relative_points)
+
+
 @dataclasses.dataclass(frozen=True)
 class BasinScoreConfig:
     """Weights for :func:`basin_score`.

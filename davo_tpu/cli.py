@@ -377,6 +377,22 @@ def main(argv=None):
     )
     vo_p.add_argument("--platform", default=None)
     vo_p.add_argument(
+        "--window-irls",
+        type=int,
+        default=0,
+        help="geometry-informed IRLS re-solves per window: Huber-"
+        "downweight observations inconsistent with the window's own "
+        "solution and re-solve (outlier robustness the descriptor gates "
+        "cannot provide)",
+    )
+    vo_p.add_argument(
+        "--soft-gate-floor",
+        type=float,
+        default=0.0,
+        help="failed verification gates keep this solve weight instead "
+        "of 0 (full constraint count; see VOFrontend.soft_gate_floor)",
+    )
+    vo_p.add_argument(
         "--matches",
         default="oracle",
         choices=("oracle", "learned"),
@@ -823,6 +839,7 @@ def main(argv=None):
                 quality_bonus=args.quality_bonus,
                 score_threshold=args.score_threshold,
                 centroid_refine_iters=args.centroid_refine,
+                soft_gate_floor=args.soft_gate_floor,
             )
             fe_restored = restore_checkpoint(args.frontend_checkpoint)
             fe_vars = {
@@ -890,6 +907,7 @@ def main(argv=None):
                 frontend_fn=frontend_fn,
                 render_config=render_config,
                 track_fn=track_fn,
+                irls_rounds=args.window_irls,
             )
             results.append({k: float(v) for k, v in ate.items()})
             print(json.dumps({"trial": trial, **results[-1]}), flush=True)

@@ -147,6 +147,17 @@ class VOFrontend(nn.Module):
     # under half a pixel on the rendered blobs. 0 disables.
     centroid_refine_iters: int = 0
     centroid_radius_px: int = 4
+    # Soft gating (round-3 sparsity diagnosis): hard verification masks
+    # leave windows UNDER-CONSTRAINED — a 4-view/8-point window has only
+    # ~2*sum(vis) observations against 38 free DOF, and with oracle-exact
+    # pixels the gated visibility pattern ALONE costs 13 deg of window
+    # rotation error (vs 0.9 deg at full visibility). With a floor > 0,
+    # matches that fail the gates but are in-bounds keep this weight in
+    # the solve instead of being dropped: full constraint count, bounded
+    # damage from the ~2-6% verified-wrong assignments (pair with
+    # ``irls_rounds`` in the window solve for geometry-informed cleanup).
+    # match_visibility becomes a float weight map. 0 keeps hard masks.
+    soft_gate_floor: float = 0.0
 
     @nn.compact
     def __call__(
@@ -280,14 +291,20 @@ class VOFrontend(nn.Module):
             nms_radius=self.nms_radius,
         )
         valid_sel = jnp.take_along_axis(extra_valid, idx[:, None, :], axis=2)
-        visibility = visibility & valid_sel
+        gates_ok = valid_sel
         if gate:
             conf_sel = jnp.take_along_axis(
                 confidence, idx[:, None, :], axis=2
             )
-            visibility = visibility & (
+            gates_ok = gates_ok & (
                 conf_sel > self.match_confidence_threshold
             )
+        if self.soft_gate_floor > 0.0:
+            visibility = visibility.astype(matches.dtype) * jnp.where(
+                gates_ok, 1.0, self.soft_gate_floor
+            )
+        else:
+            visibility = visibility & gates_ok
         return FrontendOutput(
             points=points,
             scores=scores,

@@ -543,6 +543,7 @@ def solve_windowed_vo_learned(
     stitch: str = "global",
     images: jax.Array | None = None,
     frontend_fn=None,
+    irls_rounds: int = 0,
 ) -> jax.Array:
     """Full learned VO: estimate the trajectory from observations alone.
 
@@ -569,6 +570,12 @@ def solve_windowed_vo_learned(
         instead of the oracle matches.
     :param frontend_fn: maps ``images (1, M, H, W, C)`` to
         ``(matches (1, M, N, 2), visibility (1, M, N))``.
+    :param irls_rounds: geometry-informed re-solves per window: after each
+        solve, observations inconsistent with the window's own solution
+        are Huber-downweighted (70th-percentile scale, angular floor) and
+        the window is re-solved — the outlier-robustness layer the
+        verification gates cannot provide (they act on descriptors, not
+        geometry).
     :return: ``(K, 6)`` estimated absolute poses (gauge: frame 0 identity,
         scale of the first window).
     """
@@ -607,6 +614,27 @@ def solve_windowed_vo_learned(
         else:
             w_pix, w_vis = pixels[idx][None], visibility[idx][None]
         vec = guess_fn(w_pix, w_vis)[0]
+        for _ in range(max(0, irls_rounds)):
+            # geometry-informed match reweighting (round-3 diagnosis):
+            # verification gates leave a residual ~2-6% of wrong-but-
+            # verified assignments, and ONE gross outlier poisons the
+            # unrobust in-forward window solve (relaxed gates: 6.8 deg
+            # median rotation error vs oracle 0.9 deg). Downweight
+            # observations inconsistent with the window's own solution
+            # and re-solve — the Huber scale is the 70th percentile of
+            # visible residuals with an angular floor, matching the
+            # stitcher's convention.
+            from davo_tpu.camera import calibration_residuals
+
+            res = calibration_residuals(vec[None], w_pix)[0]  # (M, N)
+            vis_b = w_vis[0] > 0
+            masked = jnp.where(vis_b, res, jnp.nan)
+            scale = jnp.maximum(
+                jnp.nanpercentile(masked, 70.0), 5e-3
+            )
+            huber = jnp.minimum(1.0, scale / jnp.maximum(res, 1e-9))
+            w_vis = (w_vis[0] * huber)[None]
+            vec = guess_fn(w_pix, w_vis)[0]
         # N from the window observations themselves: with a learned
         # front-end the global tracks (``pixels``) may be wider than the
         # per-window match count the guess network consumes
@@ -931,6 +959,7 @@ def evaluate_learned_vo(
     frontend_fn=None,
     render_config=None,
     track_fn=None,
+    irls_rounds: int = 0,
 ) -> Dict[str, jax.Array]:
     """Generate a sequence, run the full learned VO (optionally followed by
     global BA refinement — single-start or ``multistart`` scale-mode
@@ -966,6 +995,7 @@ def evaluate_learned_vo(
         stitch=stitch,
         images=images,
         frontend_fn=frontend_fn,
+        irls_rounds=irls_rounds,
     )
     intrinsics = jnp.asarray([config.focal_length, 0.0, 0.0])
     if multistart > 0:

@@ -45,8 +45,12 @@ from davo_tpu.train.vo_eval import (
 from davo_tpu.camera import unpack_calibration_parameters
 from davo_tpu.geometry import so3_rotation_matrix
 
-FRONTEND_DIR = "artifacts/ckpt_frontend_v2"
-GUESS_PKL = "artifacts/vo_windows_transformer_v3_1200.pkl"
+import os as _os
+
+FRONTEND_DIR = _os.environ.get("FRONTEND_DIR", "artifacts/ckpt_frontend_v2")
+GUESS_PKL = _os.environ.get(
+    "GUESS_PKL", "artifacts/vo_windows_transformer_v3_1200.pkl"
+)
 
 CONFIGS = {
     "verify(scene8)": dict(
@@ -62,6 +66,23 @@ CONFIGS = {
         scene24=True,
         nms_radius=0.1, centroid_refine_iters=2, snap_radius=0.08,
         cycle_threshold=0.08, quality_bonus=10.0, score_threshold=0.3,
+    ),
+    "verify(scene8,relaxed)": dict(
+        nms_radius=0.1, centroid_refine_iters=2, snap_radius=0.12,
+        cycle_threshold=0.15, quality_bonus=10.0, score_threshold=0.2,
+    ),
+    "ungated(scene8,centroid)": dict(
+        nms_radius=0.1, centroid_refine_iters=2,
+    ),
+    "softgate(scene8,floor0.3)": dict(
+        nms_radius=0.1, centroid_refine_iters=2, snap_radius=0.08,
+        cycle_threshold=0.08, quality_bonus=10.0, score_threshold=0.5,
+        soft_gate_floor=0.3,
+    ),
+    "softgate(scene8,floor0.15)": dict(
+        nms_radius=0.1, centroid_refine_iters=2, snap_radius=0.08,
+        cycle_threshold=0.08, quality_bonus=10.0, score_threshold=0.5,
+        soft_gate_floor=0.15,
     ),
 }
 
@@ -180,9 +201,18 @@ def main():
             all_near.append(near[mvis > 0])
             all_wrong.append((~consistent)[mvis > 0])
             vis_counts.append(mvis.sum(axis=1))
-            vec = guess_fn(
-                jnp.asarray(matches)[None], jnp.asarray(mvis)[None]
-            )[0]
+            w_vis = jnp.asarray(mvis, jnp.float32)[None]
+            w_pix = jnp.asarray(matches)[None]
+            vec = guess_fn(w_pix, w_vis)[0]
+            for _ in range(int(os.environ.get("IRLS", "0"))):
+                from davo_tpu.camera import calibration_residuals
+
+                res = calibration_residuals(vec[None], w_pix)[0]
+                masked = np.where(np.asarray(mvis) > 0, np.asarray(res), np.nan)
+                scale = max(float(np.nanpercentile(masked, 70.0)), 5e-3)
+                huber = jnp.minimum(1.0, scale / jnp.maximum(res, 1e-9))
+                w_vis = (w_vis[0] * huber)[None]
+                vec = guess_fn(w_pix, w_vis)[0]
             angs.append(
                 window_rot_errors(
                     vec, int(s), n_obs=mvis.shape[1], true_poses=s_poses
@@ -207,6 +237,28 @@ def main():
             "  window rotation error deg:",
             pct(np.stack(angs).ravel(), (50, 90, 100)),
         )
+        # sparsity-ceiling probe: ORACLE pixels with this config's GATED
+        # visibility pattern — separates match-noise/outliers from
+        # under-constraint (DOF arithmetic: a gated window has ~2*sum(vis)
+        # observations against 45-7 free DOF)
+        sp_angs = []
+        for wi, s in enumerate(starts):
+            idx = jnp.arange(s, s + tcfg.window)
+            matches, mvis = frontend_fn(s_images[idx][None])
+            proj = jnp.asarray(s_pixels[idx])[None]
+            if proj.shape[2] != mvis.shape[2]:
+                break  # scene24: oracle N differs from match slots
+            vec = guess_fn(proj, mvis.astype(proj.dtype))[0]
+            sp_angs.append(
+                window_rot_errors(
+                    vec, int(s), n_obs=mvis.shape[2], true_poses=s_poses
+                )
+            )
+        if sp_angs:
+            print(
+                "  [oracle pixels x gated visibility] rot err deg:",
+                pct(np.stack(sp_angs).ravel(), (50, 90, 100)),
+            )
 
 
 if __name__ == "__main__":

@@ -48,7 +48,10 @@ def test_build_window_edges_pads_and_indexes():
     np.testing.assert_array_equal(np.asarray(edges.window[:4]), [0, 0, 1, 1])
 
 
-@pytest.mark.parametrize("num_frames,window", [(8, 4), (16, 4)])
+@pytest.mark.parametrize(
+    "num_frames,window",
+    [(8, 4), pytest.param(16, 4, marks=pytest.mark.slow)],
+)
 def test_distributed_matches_host_stitcher(rng, num_frames, window):
     key = jax.random.key(rng.integers(1 << 30))
     starts, window_poses, _ = _window_poses_from_trajectory(

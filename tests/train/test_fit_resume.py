@@ -1,6 +1,7 @@
 """fit() failure recovery: periodic full-state checkpoints + auto-resume."""
 
 import jax
+import pytest
 import numpy as np
 
 from davo_tpu.solve import BFGSConfig
@@ -48,6 +49,7 @@ def test_fit_checkpoints_and_resumes(tmp_path):
     assert any(float(np.max(np.abs(np.asarray(l)))) > 0 for l in leaves)
 
 
+@pytest.mark.slow
 def test_curriculum_cross_stage_resume(tmp_path):
     """A killed curriculum run resumes in the right stage (ADVICE r2).
 
