@@ -377,6 +377,14 @@ def main(argv=None):
     )
     vo_p.add_argument("--platform", default=None)
     vo_p.add_argument(
+        "--pipeline",
+        default="windows",
+        choices=("windows", "incremental"),
+        help="windows: independent per-window solves + stitching; "
+        "incremental: learned bootstrap window + PnP/triangulation/BA "
+        "accumulation over the global tracks (robust to sparse matches)",
+    )
+    vo_p.add_argument(
         "--window-irls",
         type=int,
         default=0,
@@ -908,6 +916,7 @@ def main(argv=None):
                 render_config=render_config,
                 track_fn=track_fn,
                 irls_rounds=args.window_irls,
+                pipeline=args.pipeline,
             )
             results.append({k: float(v) for k, v in ate.items()})
             print(json.dumps({"trial": trial, **results[-1]}), flush=True)
