@@ -385,6 +385,14 @@ def main(argv=None):
         "accumulation over the global tracks (robust to sparse matches)",
     )
     vo_p.add_argument(
+        "--association",
+        default="geometric",
+        choices=("geometric", "descriptor"),
+        help="incremental-pipeline track identity: geometric (predict "
+        "structure projections, associate to raw detections — immune to "
+        "descriptor ambiguity) or descriptor (matcher tracks)",
+    )
+    vo_p.add_argument(
         "--window-irls",
         type=int,
         default=0,
@@ -814,6 +822,7 @@ def main(argv=None):
         frontend_fn = None
         track_fn = None
         render_config = None
+        detections_fn = None
         if args.matches == "learned":
             import os
 
@@ -859,6 +868,14 @@ def main(argv=None):
             def frontend_fn(images):
                 out = frontend_net.apply(fe_vars, images)
                 return out.matches, out.match_visibility
+
+            detections_fn = None
+            if args.pipeline == "incremental" and args.association == "geometric":
+
+                @jax.jit
+                def detections_fn(images):
+                    out = frontend_net.apply(fe_vars, images)
+                    return out.points, jax.nn.sigmoid(out.scores)
 
             track_fn = None
             if (
@@ -917,6 +934,7 @@ def main(argv=None):
                 track_fn=track_fn,
                 irls_rounds=args.window_irls,
                 pipeline=args.pipeline,
+                detections_fn=detections_fn,
             )
             results.append({k: float(v) for k, v in ate.items()})
             print(json.dumps({"trial": trial, **results[-1]}), flush=True)

@@ -48,6 +48,7 @@ __all__ = [
     "solve_windowed_vo",
     "solve_windowed_vo_learned",
     "solve_incremental_vo",
+    "solve_incremental_vo_detections",
     "solve_learned_vo_incremental",
     "pnp_pose",
     "stitch_windows_global",
@@ -803,15 +804,22 @@ def solve_incremental_vo(
 
     def run_ba(posed):
         k = posed.shape[0]
-        points = tri(posed, intrinsics, tracks[:k], vis[:k])
+        support = (vis[:k] > 0).sum(axis=0) >= 2
+        vis_eff = vis[:k] * support[None, :].astype(vis.dtype)
+        points = tri(posed, intrinsics, tracks[:k], vis_eff)
+        gauge_pt = int(
+            np.argmax(np.asarray((vis[:k] > 0).sum(axis=0)))
+        )
         masks = (
             jnp.zeros(3, dtype=bool),
             jnp.ones((k, 6), dtype=bool).at[0].set(False),
-            jnp.ones((points.shape[0], 3), dtype=bool).at[0, 2].set(False),
+            jnp.ones((points.shape[0], 3), dtype=bool)
+            .at[gauge_pt, 2]
+            .set(False),
         )
         solved = schur_ba_solve(
             BAProblem(intrinsics=intrinsics, poses=posed, points=points),
-            BAObservations(pixels=tracks[:k], visibility=vis[:k]),
+            BAObservations(pixels=tracks[:k], visibility=vis_eff),
             solver,
             gauge_masks=masks,
         )
@@ -838,6 +846,150 @@ def solve_incremental_vo(
     return final
 
 
+def _associate_detections(
+    proj: np.ndarray,
+    active: np.ndarray,
+    dets: np.ndarray,
+    det_ok: np.ndarray,
+    radius: float,
+):
+    """Greedy 1-1 nearest association of predicted track projections to
+    detections (host-side; N and D are tiny)."""
+    n, d = proj.shape[0], dets.shape[0]
+    cost = np.linalg.norm(proj[:, None, :] - dets[None, :, :], axis=-1)
+    cost[~active, :] = np.inf
+    cost[:, ~det_ok] = np.inf
+    cost[cost > radius] = np.inf
+    coords = np.zeros((n, 2), proj.dtype)
+    vis = np.zeros((n,), bool)
+    for _ in range(min(n, d)):
+        i = int(np.argmin(cost))
+        ti, di = divmod(i, cost.shape[1])
+        if not np.isfinite(cost[ti, di]):
+            break
+        coords[ti] = dets[di]
+        vis[ti] = True
+        cost[ti, :] = np.inf
+        cost[:, di] = np.inf
+    return coords, vis
+
+
+def solve_incremental_vo_detections(
+    detections: jax.Array,
+    det_scores: jax.Array,
+    intrinsics: jax.Array,
+    bootstrap_poses: jax.Array,
+    bootstrap_tracks: jax.Array,
+    bootstrap_vis: jax.Array,
+    solver: SchurConfig = SchurConfig(iterations=10, damping=1e-3),
+    ba_every: int = 4,
+    min_pnp_tracks: int = 4,
+    assoc_radius: float = 0.08,
+    score_threshold: float = 0.2,
+) -> jax.Array:
+    """Incremental SfM with **geometric data association**.
+
+    Identity-chained descriptor tracking was measured to lose track
+    identity 21-41% of the time on close blob passes (the matcher's
+    descriptors are not discriminative enough); this variant never asks
+    descriptors for identity beyond the bootstrap window.  Each new
+    frame: predict the current structure's projections under a
+    constant-velocity pose, greedily 1-1 associate them to the frame's
+    raw detections (median detection error ~0.003 — the detector is the
+    reliable learned component), PnP on the associations, re-associate
+    under the refined pose, and continue as in
+    :func:`solve_incremental_vo`.
+
+    :param detections: ``(K, D, 2)`` per-frame detected coordinates.
+    :param det_scores: ``(K, D)`` detection probabilities.
+    :param bootstrap_tracks: ``(W0, N, 2)`` matcher-derived observations
+        of the first window (identity over one window is reliable).
+    :return: ``(K, 6)`` world->camera poses.
+    """
+    kf = detections.shape[0]
+    w0, n = bootstrap_tracks.shape[0], bootstrap_tracks.shape[1]
+    dtype = detections.dtype
+    tracks = np.zeros((kf, n, 2), np.asarray(detections).dtype)
+    vis = np.zeros((kf, n), np.float64 if dtype == jnp.float64 else np.float32)
+    tracks[:w0] = np.asarray(bootstrap_tracks)
+    vis[:w0] = np.asarray(bootstrap_vis, vis.dtype)
+    poses = [bootstrap_poses[i] for i in range(w0)]
+
+    pnp = jax.jit(pnp_pose)
+    tri = jax.jit(triangulate_points)
+    dets_np = np.asarray(detections)
+    det_ok_np = np.asarray(det_scores) > score_threshold
+    in_bounds = np.all(np.abs(dets_np) < 1.0, axis=-1)
+    det_ok_np = det_ok_np & in_bounds
+
+    def run_ba(posed, k):
+        # points with < 2 supporting frames have junk (min-norm)
+        # triangulations; keep their observations out of the BA or the
+        # f32 solve can blow up through the rank-deficient point block
+        support = (vis[:k] > 0).sum(axis=0) >= 2
+        vis_eff = jnp.asarray(vis[:k] * support[None, :].astype(vis.dtype))
+        points = tri(posed, intrinsics, jnp.asarray(tracks[:k]), vis_eff)
+        # scale gauge: pin the z of the BEST-SUPPORTED point — pinning a
+        # barely-observed point leaves the scale direction loose and the
+        # f32 solve drifts along it (measured: 1e6-sized poses)
+        gauge_pt = int(np.argmax((vis[:k] > 0).sum(axis=0)))
+        masks = (
+            jnp.zeros(3, dtype=bool),
+            jnp.ones((k, 6), dtype=bool).at[0].set(False),
+            jnp.ones((n, 3), dtype=bool).at[gauge_pt, 2].set(False),
+        )
+        solved = schur_ba_solve(
+            BAProblem(intrinsics=intrinsics, poses=posed, points=points),
+            BAObservations(
+                pixels=jnp.asarray(tracks[:k]), visibility=vis_eff
+            ),
+            solver,
+            gauge_masks=masks,
+        )
+        return solved.poses
+
+    def project(points, pose):
+        rel = rotate_vector_axis_angle(points, pose[0:3]) + pose[3:6]
+        z = jnp.maximum(rel[..., 2], 1e-6)
+        u = intrinsics[0] * rel[..., 0] / z + intrinsics[1]
+        v = intrinsics[0] * rel[..., 1] / z + intrinsics[2]
+        return jnp.stack([u, v], axis=-1), rel[..., 2] > 0.0
+
+    for k in range(w0, kf):
+        posed = jnp.stack(poses)
+        points = tri(
+            posed, intrinsics, jnp.asarray(tracks[:k]), jnp.asarray(vis[:k])
+        )
+        support = vis[:k].sum(axis=0) >= 2
+        prev, prev2 = poses[-1], poses[-2]
+        step = _to_window_frame(prev[None], prev2)[0]
+        pose_k = _compose(prev, step)
+        for _ in range(2):  # associate -> PnP -> re-associate -> PnP
+            proj, in_front = project(points, pose_k)
+            active = support & np.asarray(in_front)
+            coords, ok = _associate_detections(
+                np.asarray(proj), active, dets_np[k], det_ok_np[k],
+                assoc_radius,
+            )
+            if ok.sum() < min_pnp_tracks:
+                break
+            pose_k = pnp(
+                points,
+                jnp.asarray(coords),
+                jnp.asarray(ok, vis.dtype),
+                intrinsics,
+                pose_k,
+            )
+        tracks[k] = coords
+        vis[k] = ok.astype(vis.dtype)
+        poses.append(pose_k)
+        if (k - w0 + 1) % ba_every == 0:
+            refined = run_ba(jnp.stack(poses), k + 1)
+            poses = [refined[i] for i in range(refined.shape[0])]
+    final = run_ba(jnp.stack(poses), kf)
+    return final
+
+
 def solve_learned_vo_incremental(
     guess_fn,
     tracks: jax.Array,
@@ -845,6 +997,8 @@ def solve_learned_vo_incremental(
     config: TrajectoryConfig,
     irls_rounds: int = 2,
     refine_intrinsics: bool = True,
+    detections: jax.Array | None = None,
+    det_scores: jax.Array | None = None,
 ) -> jax.Array:
     """Fully-learned incremental VO: bootstrap window + global tracks.
 
@@ -885,9 +1039,21 @@ def solve_learned_vo_incremental(
     intr = params.intrinsics.reshape(-1)  # (1, 1, 3) -> (3,)
     focal = jax.nn.elu(intr[0]) + 1.0
     intrinsics = jnp.stack([focal, intr[1], intr[2]]).astype(tracks.dtype)
-    estimates = solve_incremental_vo(
-        tracks, visibility, intrinsics, boot_est
-    )
+    if detections is not None:
+        # geometric data association over raw detections — identity from
+        # the accumulated structure, not from descriptors
+        estimates = solve_incremental_vo_detections(
+            detections,
+            det_scores,
+            intrinsics,
+            boot_est,
+            tracks[:w],
+            w_vis[0],
+        )
+    else:
+        estimates = solve_incremental_vo(
+            tracks, visibility, intrinsics, boot_est
+        )
     if refine_intrinsics:
         # one final BA with the focal free: the bootstrap focal estimate
         # carries the guess head's ~0.1-0.3 error, which PnP bakes into
@@ -1184,6 +1350,7 @@ def evaluate_learned_vo(
     track_fn=None,
     irls_rounds: int = 0,
     pipeline: str = "windows",
+    detections_fn=None,
 ) -> Dict[str, jax.Array]:
     """Generate a sequence, run the full learned VO (optionally followed by
     global BA refinement — single-start or ``multistart`` scale-mode
@@ -1215,12 +1382,18 @@ def evaluate_learned_vo(
         # tracks (learned when frontend_fn given, else oracle) feed the
         # PnP/triangulation/BA accumulator — per-window solves are only
         # used to bootstrap the first window
+        detections = det_scores = None
+        if detections_fn is not None and images is not None:
+            dets, dscores = detections_fn(images[None])
+            detections, det_scores = dets[0], dscores[0]
         estimates = solve_learned_vo_incremental(
             guess_fn,
             pixels,
             visibility.astype(pixels.dtype),
             config,
             irls_rounds=max(irls_rounds, 2),
+            detections=detections,
+            det_scores=det_scores,
         )
     elif pipeline == "windows":
         estimates = solve_windowed_vo_learned(
