@@ -883,9 +883,10 @@ def solve_incremental_vo_detections(
     bootstrap_vis: jax.Array,
     solver: SchurConfig = SchurConfig(iterations=10, damping=1e-3),
     ba_every: int = 4,
-    min_pnp_tracks: int = 4,
-    assoc_radius: float = 0.08,
+    min_pnp_tracks: int = 3,
+    assoc_radius: float = 0.12,
     score_threshold: float = 0.2,
+    refine_intrinsics: bool = False,
 ) -> jax.Array:
     """Incremental SfM with **geometric data association**.
 
@@ -955,6 +956,18 @@ def solve_incremental_vo_detections(
         v = intrinsics[0] * rel[..., 1] / z + intrinsics[2]
         return jnp.stack([u, v], axis=-1), rel[..., 2] > 0.0
 
+    # last observed pixel per track: lets tracks BELOW triangulation
+    # support still associate (at their last position — inter-frame blob
+    # motion p50 ~0.08 vs spacing p10 ~0.12, and supported tracks claim
+    # their detections first in the greedy 1-1 assignment) so the
+    # structure pool can grow past the bootstrap's track set
+    last_pos = np.zeros((n, 2), tracks.dtype)
+    last_seen = np.zeros((n,), bool)
+    for f in range(w0):
+        seen = vis[f] > 0
+        last_pos[seen] = tracks[f][seen]
+        last_seen |= seen
+
     for k in range(w0, kf):
         posed = jnp.stack(poses)
         points = tri(
@@ -964,29 +977,56 @@ def solve_incremental_vo_detections(
         prev, prev2 = poses[-1], poses[-2]
         step = _to_window_frame(prev[None], prev2)[0]
         pose_k = _compose(prev, step)
-        for _ in range(2):  # associate -> PnP -> re-associate -> PnP
+        for _ in range(3):  # associate -> PnP rounds
             proj, in_front = project(points, pose_k)
-            active = support & np.asarray(in_front)
+            proj = np.array(proj)  # writable host copy
+            active = (support & np.asarray(in_front)) | last_seen
+            unsupported = ~(support & np.asarray(in_front)) & last_seen
+            proj[unsupported] = last_pos[unsupported]
             coords, ok = _associate_detections(
-                np.asarray(proj), active, dets_np[k], det_ok_np[k],
-                assoc_radius,
+                proj, active, dets_np[k], det_ok_np[k], assoc_radius
             )
-            if ok.sum() < min_pnp_tracks:
+            pnp_ok = ok & support  # only triangulated tracks constrain PnP
+            if pnp_ok.sum() < min_pnp_tracks:
                 break
             pose_k = pnp(
                 points,
                 jnp.asarray(coords),
-                jnp.asarray(ok, vis.dtype),
+                jnp.asarray(pnp_ok, vis.dtype),
                 intrinsics,
                 pose_k,
             )
         tracks[k] = coords
         vis[k] = ok.astype(vis.dtype)
+        last_pos[ok] = coords[ok]
+        last_seen |= ok
         poses.append(pose_k)
         if (k - w0 + 1) % ba_every == 0:
             refined = run_ba(jnp.stack(poses), k + 1)
             poses = [refined[i] for i in range(refined.shape[0])]
+    # final alternation: re-triangulating from the refined poses once
+    # more recovers structure that early (drifted) poses seeded badly
     final = run_ba(jnp.stack(poses), kf)
+    final = run_ba(final, kf)
+    if refine_intrinsics:
+        # final BA with the focal free, on THE ASSOCIATION tracks: lets
+        # the full sequence correct the bootstrap focal estimate
+        support = (vis > 0).sum(axis=0) >= 2
+        vis_eff = jnp.asarray(vis * support[None, :].astype(vis.dtype))
+        points = tri(final, intrinsics, jnp.asarray(tracks), vis_eff)
+        gauge_pt = int(np.argmax((vis > 0).sum(axis=0)))
+        masks = (
+            jnp.asarray([True, False, False]),
+            jnp.ones((kf, 6), dtype=bool).at[0].set(False),
+            jnp.ones((n, 3), dtype=bool).at[gauge_pt, 2].set(False),
+        )
+        solved = schur_ba_solve(
+            BAProblem(intrinsics=intrinsics, poses=final, points=points),
+            BAObservations(pixels=jnp.asarray(tracks), visibility=vis_eff),
+            SchurConfig(iterations=15, damping=1e-3),
+            gauge_masks=masks,
+        )
+        final = solved.poses
     return final
 
 
@@ -1041,19 +1081,27 @@ def solve_learned_vo_incremental(
     intrinsics = jnp.stack([focal, intr[1], intr[2]]).astype(tracks.dtype)
     if detections is not None:
         # geometric data association over raw detections — identity from
-        # the accumulated structure, not from descriptors
-        estimates = solve_incremental_vo_detections(
+        # the accumulated structure, not from descriptors.  The learned
+        # bootstrap is trimmed to TWO frames: the anchored window solve's
+        # identity errors and its weakest-view poses must not seed the
+        # accumulator (adjacent-view relative pose is the window solve's
+        # most reliable output), and its matches are only trusted on
+        # those two frames.  refine_intrinsics runs INSIDE on the
+        # association tracks (the anchored tracks' identities are wrong
+        # — measured 25-67% beyond 2 frames — and would poison a final
+        # BA).
+        return solve_incremental_vo_detections(
             detections,
             det_scores,
             intrinsics,
-            boot_est,
-            tracks[:w],
-            w_vis[0],
+            boot_est[:2],
+            tracks[:2],
+            w_vis[0][:2],
+            refine_intrinsics=refine_intrinsics,
         )
-    else:
-        estimates = solve_incremental_vo(
-            tracks, visibility, intrinsics, boot_est
-        )
+    estimates = solve_incremental_vo(
+        tracks, visibility, intrinsics, boot_est
+    )
     if refine_intrinsics:
         # one final BA with the focal free: the bootstrap focal estimate
         # carries the guess head's ~0.1-0.3 error, which PnP bakes into
