@@ -887,6 +887,8 @@ def solve_incremental_vo_detections(
     assoc_radius: float = 0.12,
     score_threshold: float = 0.2,
     refine_intrinsics: bool = False,
+    bootstrap_start: int = 0,
+    return_cost: bool = False,
 ) -> jax.Array:
     """Incremental SfM with **geometric data association**.
 
@@ -910,11 +912,15 @@ def solve_incremental_vo_detections(
     kf = detections.shape[0]
     w0, n = bootstrap_tracks.shape[0], bootstrap_tracks.shape[1]
     dtype = detections.dtype
+    s0 = int(bootstrap_start)
+    if not 0 <= s0 <= kf - w0:
+        raise ValueError(f"bootstrap_start {s0} out of range for K={kf}")
     tracks = np.zeros((kf, n, 2), np.asarray(detections).dtype)
     vis = np.zeros((kf, n), np.float64 if dtype == jnp.float64 else np.float32)
-    tracks[:w0] = np.asarray(bootstrap_tracks)
-    vis[:w0] = np.asarray(bootstrap_vis, vis.dtype)
-    poses = [bootstrap_poses[i] for i in range(w0)]
+    tracks[s0 : s0 + w0] = np.asarray(bootstrap_tracks)
+    vis[s0 : s0 + w0] = np.asarray(bootstrap_vis, vis.dtype)
+    pose_of = {s0 + i: bootstrap_poses[i] for i in range(w0)}
+    solved_frames = list(range(s0, s0 + w0))
 
     pnp = jax.jit(pnp_pose)
     tri = jax.jit(triangulate_points)
@@ -923,31 +929,43 @@ def solve_incremental_vo_detections(
     in_bounds = np.all(np.abs(dets_np) < 1.0, axis=-1)
     det_ok_np = det_ok_np & in_bounds
 
-    def run_ba(posed, k):
+    def subset():
+        idx = sorted(solved_frames)
+        return (
+            idx,
+            jnp.stack([pose_of[i] for i in idx]),
+            jnp.asarray(tracks[idx]),
+            vis[idx],
+        )
+
+    def run_ba(free_focal=False):
+        idx, posed, t_sub, v_sub = subset()
         # points with < 2 supporting frames have junk (min-norm)
         # triangulations; keep their observations out of the BA or the
         # f32 solve can blow up through the rank-deficient point block
-        support = (vis[:k] > 0).sum(axis=0) >= 2
-        vis_eff = jnp.asarray(vis[:k] * support[None, :].astype(vis.dtype))
-        points = tri(posed, intrinsics, jnp.asarray(tracks[:k]), vis_eff)
+        support = (v_sub > 0).sum(axis=0) >= 2
+        vis_eff = jnp.asarray(v_sub * support[None, :].astype(vis.dtype))
+        points = tri(posed, intrinsics, t_sub, vis_eff)
         # scale gauge: pin the z of the BEST-SUPPORTED point — pinning a
         # barely-observed point leaves the scale direction loose and the
-        # f32 solve drifts along it (measured: 1e6-sized poses)
-        gauge_pt = int(np.argmax((vis[:k] > 0).sum(axis=0)))
+        # f32 solve drifts along it (measured: 1e6-sized poses); pose
+        # gauge: pin the bootstrap anchor
+        gauge_pt = int(np.argmax((v_sub > 0).sum(axis=0)))
+        anchor_row = idx.index(s0)
         masks = (
-            jnp.zeros(3, dtype=bool),
-            jnp.ones((k, 6), dtype=bool).at[0].set(False),
+            jnp.asarray([free_focal, False, False]),
+            jnp.ones((len(idx), 6), dtype=bool).at[anchor_row].set(False),
             jnp.ones((n, 3), dtype=bool).at[gauge_pt, 2].set(False),
         )
-        solved = schur_ba_solve(
+        ba = schur_ba_solve(
             BAProblem(intrinsics=intrinsics, poses=posed, points=points),
-            BAObservations(
-                pixels=jnp.asarray(tracks[:k]), visibility=vis_eff
-            ),
-            solver,
+            BAObservations(pixels=t_sub, visibility=vis_eff),
+            solver if not free_focal
+            else SchurConfig(iterations=15, damping=1e-3),
             gauge_masks=masks,
         )
-        return solved.poses
+        for row, i in enumerate(idx):
+            pose_of[i] = ba.poses[row]
 
     def project(points, pose):
         rel = rotate_vector_axis_angle(points, pose[0:3]) + pose[3:6]
@@ -963,18 +981,24 @@ def solve_incremental_vo_detections(
     # structure pool can grow past the bootstrap's track set
     last_pos = np.zeros((n, 2), tracks.dtype)
     last_seen = np.zeros((n,), bool)
-    for f in range(w0):
+    for f in range(s0, s0 + w0):
         seen = vis[f] > 0
         last_pos[seen] = tracks[f][seen]
         last_seen |= seen
 
-    for k in range(w0, kf):
-        posed = jnp.stack(poses)
-        points = tri(
-            posed, intrinsics, jnp.asarray(tracks[:k]), jnp.asarray(vis[:k])
-        )
-        support = vis[:k].sum(axis=0) >= 2
-        prev, prev2 = poses[-1], poses[-2]
+    # forward from the bootstrap, then backward from it — an arbitrary
+    # bootstrap window covers the whole sequence
+    order = list(range(s0 + w0, kf)) + list(range(s0 - 1, -1, -1))
+    since_ba = 0
+    for k in order:
+        idx, posed, t_sub, v_sub = subset()
+        points = tri(posed, intrinsics, t_sub, jnp.asarray(v_sub))
+        support = v_sub.sum(axis=0) >= 2
+        # constant-velocity prediction from the two nearest solved frames
+        if k > idx[-1]:
+            prev, prev2 = pose_of[idx[-1]], pose_of[idx[-2]]
+        else:
+            prev, prev2 = pose_of[idx[0]], pose_of[idx[1]]
         step = _to_window_frame(prev[None], prev2)[0]
         pose_k = _compose(prev, step)
         for _ in range(3):  # associate -> PnP rounds
@@ -1000,33 +1024,38 @@ def solve_incremental_vo_detections(
         vis[k] = ok.astype(vis.dtype)
         last_pos[ok] = coords[ok]
         last_seen |= ok
-        poses.append(pose_k)
-        if (k - w0 + 1) % ba_every == 0:
-            refined = run_ba(jnp.stack(poses), k + 1)
-            poses = [refined[i] for i in range(refined.shape[0])]
+        pose_of[k] = pose_k
+        solved_frames.append(k)
+        since_ba += 1
+        if since_ba % ba_every == 0:
+            run_ba()
     # final alternation: re-triangulating from the refined poses once
     # more recovers structure that early (drifted) poses seeded badly
-    final = run_ba(jnp.stack(poses), kf)
-    final = run_ba(final, kf)
+    run_ba()
+    run_ba()
     if refine_intrinsics:
         # final BA with the focal free, on THE ASSOCIATION tracks: lets
         # the full sequence correct the bootstrap focal estimate
+        run_ba(free_focal=True)
+    final = jnp.stack([pose_of[i] for i in range(kf)])
+    if return_cost:
+        # self-consistency: mean reprojection residual of the associated
+        # observations under the final poses/structure (no oracle data)
         support = (vis > 0).sum(axis=0) >= 2
-        vis_eff = jnp.asarray(vis * support[None, :].astype(vis.dtype))
-        points = tri(final, intrinsics, jnp.asarray(tracks), vis_eff)
-        gauge_pt = int(np.argmax((vis > 0).sum(axis=0)))
-        masks = (
-            jnp.asarray([True, False, False]),
-            jnp.ones((kf, 6), dtype=bool).at[0].set(False),
-            jnp.ones((n, 3), dtype=bool).at[gauge_pt, 2].set(False),
+        vis_eff = vis * support[None, :].astype(vis.dtype)
+        points = tri(final, intrinsics, jnp.asarray(tracks), jnp.asarray(vis_eff))
+        res = []
+        for k in range(kf):
+            proj, _ = project(points, final[k])
+            r = np.linalg.norm(np.array(proj) - tracks[k], axis=-1)
+            res.append(r[vis_eff[k] > 0])
+        res = np.concatenate(res) if res else np.asarray([np.inf])
+        count = float((vis_eff > 0).sum())
+        # mean residual, penalising low association coverage
+        cost = float(np.mean(res)) + 0.1 * max(
+            0.0, 1.0 - count / (0.5 * kf * n)
         )
-        solved = schur_ba_solve(
-            BAProblem(intrinsics=intrinsics, poses=final, points=points),
-            BAObservations(pixels=jnp.asarray(tracks), visibility=vis_eff),
-            SchurConfig(iterations=15, damping=1e-3),
-            gauge_masks=masks,
-        )
-        final = solved.poses
+        return final, cost
     return final
 
 
@@ -1039,6 +1068,8 @@ def solve_learned_vo_incremental(
     refine_intrinsics: bool = True,
     detections: jax.Array | None = None,
     det_scores: jax.Array | None = None,
+    window_obs_fn=None,
+    num_bootstraps: int = 3,
 ) -> jax.Array:
     """Fully-learned incremental VO: bootstrap window + global tracks.
 
@@ -1058,47 +1089,84 @@ def solve_learned_vo_incremental(
     )
 
     w = config.window
-    w_pix = tracks[:w][None]
-    w_vis = visibility[:w].astype(tracks.dtype)[None]
-    vec = guess_fn(w_pix, w_vis)[0]
-    for _ in range(max(0, irls_rounds)):
-        res = calibration_residuals(vec[None], w_pix)[0]
-        masked = jnp.where(w_vis[0] > 0, res, jnp.nan)
-        scale = jnp.maximum(jnp.nanpercentile(masked, 70.0), 5e-3)
-        huber = jnp.minimum(1.0, scale / jnp.maximum(res, 1e-9))
-        w_vis = (w_vis[0] * huber)[None]
+    kf = tracks.shape[0]
+
+    def bootstrap(start):
+        """Learned guess + geometry-IRLS solve of the window at ``start``:
+        returns its frame-relative poses, intrinsics estimate, and the
+        (IRLS-reweighted) window observations."""
+        if window_obs_fn is not None:
+            w_pix, w_vis = window_obs_fn(start)
+            w_vis = w_vis.astype(tracks.dtype)
+        else:
+            w_pix = tracks[start : start + w][None]
+            w_vis = visibility[start : start + w].astype(tracks.dtype)[None]
         vec = guess_fn(w_pix, w_vis)[0]
-    params = unpack_calibration_parameters(vec, w, tracks.shape[1])
-    rel = jnp.concatenate(
-        [params.camera_rotations[:, 0, :], params.camera_translations[:, 0, :]],
-        axis=-1,
-    )
-    boot_est = jnp.concatenate(
-        [jnp.zeros((1, 6), rel.dtype), rel], axis=0
-    )
-    intr = params.intrinsics.reshape(-1)  # (1, 1, 3) -> (3,)
-    focal = jax.nn.elu(intr[0]) + 1.0
-    intrinsics = jnp.stack([focal, intr[1], intr[2]]).astype(tracks.dtype)
+        for _ in range(max(0, irls_rounds)):
+            res = calibration_residuals(vec[None], w_pix)[0]
+            masked = jnp.where(w_vis[0] > 0, res, jnp.nan)
+            scale = jnp.maximum(jnp.nanpercentile(masked, 70.0), 5e-3)
+            huber = jnp.minimum(1.0, scale / jnp.maximum(res, 1e-9))
+            w_vis = (w_vis[0] * huber)[None]
+            vec = guess_fn(w_pix, w_vis)[0]
+        params = unpack_calibration_parameters(vec, w, w_pix.shape[2])
+        rel = jnp.concatenate(
+            [
+                params.camera_rotations[:, 0, :],
+                params.camera_translations[:, 0, :],
+            ],
+            axis=-1,
+        )
+        boot_est = jnp.concatenate(
+            [jnp.zeros((1, 6), rel.dtype), rel], axis=0
+        )
+        intr = params.intrinsics.reshape(-1)  # (1, 1, 3) -> (3,)
+        focal = jax.nn.elu(intr[0]) + 1.0
+        intrinsics = jnp.stack(
+            [focal, intr[1], intr[2]]
+        ).astype(tracks.dtype)
+        return boot_est, intrinsics, w_pix[0], w_vis[0]
+
     if detections is not None:
         # geometric data association over raw detections — identity from
-        # the accumulated structure, not from descriptors.  The learned
-        # bootstrap is trimmed to TWO frames: the anchored window solve's
-        # identity errors and its weakest-view poses must not seed the
-        # accumulator (adjacent-view relative pose is the window solve's
-        # most reliable output), and its matches are only trusted on
-        # those two frames.  refine_intrinsics runs INSIDE on the
-        # association tracks (the anchored tracks' identities are wrong
-        # — measured 25-67% beyond 2 frames — and would poison a final
-        # BA).
-        return solve_incremental_vo_detections(
-            detections,
-            det_scores,
-            intrinsics,
-            boot_est[:2],
-            tracks[:2],
-            w_vis[0][:2],
-            refine_intrinsics=refine_intrinsics,
-        )
+        # the accumulated structure, not from descriptors.  Each learned
+        # bootstrap is trimmed to TWO frames (adjacent-view relative pose
+        # is the window solve's most reliable output; anchored-track
+        # identity errors — measured 25-67% beyond 2 frames — must not
+        # seed the accumulator) and the chain runs forward + backward
+        # from it.  The 2-frame bootstrap is the single point of failure
+        # (a bad window poisons everything downstream), so
+        # ``num_bootstraps`` candidate windows are tried and the chain
+        # with the lowest self-consistent reprojection cost wins.
+        # refine_intrinsics runs INSIDE on the association tracks.
+        if num_bootstraps <= 1 or kf <= w:
+            starts = [0]
+        else:
+            starts = sorted(
+                {
+                    int(s)
+                    for s in np.linspace(0, kf - w, num_bootstraps).round()
+                }
+            )
+        best = None
+        for s in starts:
+            boot_est, intrinsics, b_pix, b_vis = bootstrap(s)
+            est, cost = solve_incremental_vo_detections(
+                detections,
+                det_scores,
+                intrinsics,
+                boot_est[:2],
+                b_pix[:2],
+                b_vis[:2],
+                refine_intrinsics=refine_intrinsics,
+                bootstrap_start=s,
+                return_cost=True,
+            )
+            if best is None or cost < best[0]:
+                best = (cost, est)
+        return best[1]
+
+    boot_est, intrinsics, _, _ = bootstrap(0)
     estimates = solve_incremental_vo(
         tracks, visibility, intrinsics, boot_est
     )
@@ -1431,9 +1499,16 @@ def evaluate_learned_vo(
         # PnP/triangulation/BA accumulator — per-window solves are only
         # used to bootstrap the first window
         detections = det_scores = None
+        window_obs_fn = None
         if detections_fn is not None and images is not None:
             dets, dscores = detections_fn(images[None])
             detections, det_scores = dets[0], dscores[0]
+        if frontend_fn is not None and images is not None:
+            # candidate bootstrap windows are matched FRESH with their own
+            # anchor frame (identity within one window is reliable; the
+            # whole-sequence anchored tracks are not)
+            def window_obs_fn(s):
+                return frontend_fn(images[s : s + config.window][None])
         estimates = solve_learned_vo_incremental(
             guess_fn,
             pixels,
@@ -1442,6 +1517,7 @@ def evaluate_learned_vo(
             irls_rounds=max(irls_rounds, 2),
             detections=detections,
             det_scores=det_scores,
+            window_obs_fn=window_obs_fn,
         )
     elif pipeline == "windows":
         estimates = solve_windowed_vo_learned(
