@@ -40,6 +40,14 @@ def _kernel(flags_ref, h_ref, s_ref, y_ref, g_ref, upd_ref, h_out_ref, d_out_ref
 
     Shapes per block: ``h (P, P, BB)``, vectors ``(P, BB)``, ``upd (1, BB)``,
     ``flags (1, 2)`` = (is_first, is_second) as f32 in SMEM.
+
+    Structure (the round-3 "rowloop2" tuning winner — 614 GB/s of the
+    ~819 GB/s v5e roofline at bf16/block 256, 1.6x the round-2 broadcast
+    kernel; ``scripts/tune_bfgs_kernel.py``): every intermediate is a 2-D
+    ``(P, BB)`` or ``(1, BB)`` tile — no rank-3 temporaries to spill —
+    rows are processed two at a time, and the eq. 6.20 rescale is folded
+    into the derived reductions (``y^T (c H) = c (y^T H)``) instead of a
+    full-H multiply pass.
     """
     f_first = flags_ref[0, 0]
     f_second = flags_ref[0, 1]
@@ -47,9 +55,8 @@ def _kernel(flags_ref, h_ref, s_ref, y_ref, g_ref, upd_ref, h_out_ref, d_out_ref
     y = y_ref[...]
     g = g_ref[...]
     upd = upd_ref[...]  # (1, BB) in {0.0, 1.0}
-    # The carry may be stored reduced-precision (bfloat16) to halve its
-    # HBM traffic; all update math runs in the vector dtype (f32).
-    h = h_ref[...].astype(s.dtype)
+    dtype = s.dtype
+    p = s.shape[0]
 
     # inverse curvature 1/(y.s), zeroed where non-positive (utils.guards):
     # with inv_c = 0 every update term vanishes and the update is skipped.
@@ -62,31 +69,44 @@ def _kernel(flags_ref, h_ref, s_ref, y_ref, g_ref, upd_ref, h_out_ref, d_out_ref
     y_sq = jnp.maximum(jnp.sum(y * y, axis=0, keepdims=True), 1e-5)
     rescale = jnp.maximum(curvature / y_sq, 1e-4)
     scale_eff = 1.0 + f_second * (rescale - 1.0)  # (1, BB)
-    h = h * scale_eff[None]
 
-    # The BFGS inverse-Hessian is symmetric (H0 = c*I; the compact update
-    # preserves symmetry exactly — the delta below is a symmetric
-    # construction), so H y == (y^T H)^T and the direction matvec can both
-    # be computed as LEADING-axis reductions (a sequence of (P, BB)-tile
-    # fused multiply-adds on the VPU) instead of reductions over the
-    # sublane axis, which Mosaic lowers to log-depth cross-sublane
-    # shuffles per row — the measured compute bottleneck of kernel v1.
-    yth = jnp.sum(h * y[:, None, :], axis=0)  # (P, BB)  y^T H == (H y)^T
-    yhy_on_c = jnp.sum(yth * (y * inv_c), axis=0, keepdims=True)  # (1, BB)
+    # pass 1 on RAW rows (carry may be stored bf16; math in the vector
+    # dtype); the rescale is folded into the reductions afterwards.
+    # The BFGS inverse-Hessian is symmetric, so H y == (y^T H)^T and both
+    # matvecs are LEADING-axis reductions ((P, BB)-tile FMAs on the VPU)
+    # instead of cross-sublane shuffles.
+    hy_rows = [None] * p
+    yth = jnp.zeros_like(y)
+    for i in range(0, p, 2):
+        row_a = h_ref[i].astype(dtype)
+        hy_rows[i] = jnp.sum(row_a * y, axis=0, keepdims=True)
+        yth = yth + y[i : i + 1] * row_a
+        if i + 1 < p:
+            row_b = h_ref[i + 1].astype(dtype)
+            hy_rows[i + 1] = jnp.sum(row_b * y, axis=0, keepdims=True)
+            yth = yth + y[i + 1 : i + 2] * row_b
+    yth = yth * scale_eff
+    yhy_on_c = jnp.sum(yth * y, axis=0, keepdims=True) * inv_c
     s_on_c = s * inv_c
 
-    # H+ = H + (1 + yHy/c) (s/c) s^T - (s/c) (y^T H) - (H y)(s/c)^T,
-    # applied only where updating and not the first step.
+    # H+ = c H + (1 + yHy/c) (s/c) s^T - (s/c) (y^T H) - (H y)(s/c)^T,
+    # applied only where updating and not the first step; the direction
+    # matvec row reduces the freshly built row (symmetry again).
     applied = upd * (1.0 - f_first)  # (1, BB)
-    delta = (
-        s_on_c[:, None, :] * ((1.0 + yhy_on_c) * s - yth)[None, :, :]
-        - yth[:, None, :] * s_on_c[None, :, :]
-    )
-    h_out = h + applied[None] * delta
-    h_out_ref[...] = h_out.astype(h_out_ref.dtype)
-
-    d = -jnp.sum(h_out * g[:, None, :], axis=0)  # (P, BB), symmetry again
-    d_out_ref[...] = f_first * (-g) + (1.0 - f_first) * d
+    common = (1.0 + yhy_on_c) * s - yth  # (P, BB)
+    for i in range(0, p, 2):
+        for pp in (i, i + 1):
+            if pp >= p:
+                break
+            row = h_ref[pp].astype(dtype) * scale_eff + applied * (
+                s_on_c[pp : pp + 1] * common
+                - (hy_rows[pp] * scale_eff) * s_on_c
+            )
+            h_out_ref[pp] = row.astype(h_out_ref.dtype)
+            d_row = -jnp.sum(row * g, axis=0, keepdims=True)
+            d_out_ref[pp] = (
+                f_first * (-g[pp : pp + 1]) + (1.0 - f_first) * d_row
+            )[0]
 
 
 def fused_bfgs_update_direction(
@@ -98,7 +118,7 @@ def fused_bfgs_update_direction(
     is_first: jax.Array,
     is_second: jax.Array,
     *,
-    block_b: int = 128,
+    block_b: int = 256,
     interpret: bool | None = None,
 ):
     """Fused second-order state advance for one BFGS iteration.
@@ -125,6 +145,10 @@ def fused_bfgs_update_direction(
     if h_t.shape != (p, p, b):
         raise ValueError(f"expected H of shape {(p, p, b)}, got {h_t.shape}")
     block_b = min(block_b, b)
+    while block_b > 1 and b % block_b != 0:
+        # fall back to the largest dividing block (batches are %128 by
+        # the solver's enable condition; 256 is the tuned fast path)
+        block_b //= 2
     if b % block_b != 0:
         raise ValueError(f"batch {b} not divisible by block_b {block_b}")
 

@@ -147,12 +147,14 @@ def test_platform_dependent_fallback_on_cpu():
 def test_bad_shapes_raise():
     h, s, y, g, upd = _random_case(2, b=100)
     h_t = jnp.transpose(h, (1, 2, 0))
-    with pytest.raises(ValueError):
-        fused_bfgs_update_direction(
-            h_t, s, y, g, upd, jnp.asarray(False), jnp.asarray(False),
-            block_b=64,  # 100 % 64 != 0
-            interpret=True,
-        )
+    # a non-dividing block falls back to the largest dividing halving
+    # (100 % 64 != 0 -> block 4) instead of raising
+    h_out, d = fused_bfgs_update_direction(
+        h_t, s, y, g, upd, jnp.asarray(False), jnp.asarray(False),
+        block_b=64,
+        interpret=True,
+    )
+    assert h_out.shape == h_t.shape
     with pytest.raises(ValueError):
         fused_bfgs_update_direction(
             jnp.transpose(h, (2, 1, 0))[:3],
