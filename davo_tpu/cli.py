@@ -182,7 +182,12 @@ def _load_frontend_fn(
         out = frontend_net.apply(fe_vars, images)
         return out.matches, out.match_visibility
 
-    return frontend_fn, render_config
+    @jax.jit
+    def detections_fn(images):
+        out = frontend_net.apply(fe_vars, images)
+        return out.points, jax.nn.sigmoid(out.scores)
+
+    return frontend_fn, detections_fn, render_config
 
 
 def main(argv=None):
@@ -257,6 +262,13 @@ def main(argv=None):
     seq_p.add_argument("--transformer-heads", type=int, default=None)
     seq_p.add_argument(
         "--stitch", default="global", help="global | robust | chain"
+    )
+    seq_p.add_argument(
+        "--pipeline",
+        default="windows",
+        choices=("windows", "incremental"),
+        help="windows: per-window solves + stitching; incremental: "
+        "learned bootstrap + PnP/triangulation/BA over detections",
     )
     fe_p = sub.add_parser(
         "fit-frontend",
@@ -640,15 +652,17 @@ def main(argv=None):
             if args.frontend_checkpoint:
                 # verification-gate defaults = the measured round-2
                 # diagnosis config (scripts/diagnose_learned_matches.py)
-                frontend_fn, render_config = _load_frontend_fn(
-                    args.frontend_checkpoint,
-                    args.points,
-                    nms_radius=0.1,
-                    centroid_refine_iters=2,
-                    snap_radius=0.08,
-                    cycle_threshold=0.08,
-                    quality_bonus=10.0,
-                    score_threshold=0.5,
+                frontend_fn, _frontend_detections_fn, render_config = (
+                    _load_frontend_fn(
+                        args.frontend_checkpoint,
+                        args.points,
+                        nms_radius=0.1,
+                        centroid_refine_iters=2,
+                        snap_radius=0.08,
+                        cycle_threshold=0.08,
+                        quality_bonus=10.0,
+                        score_threshold=0.5,
+                    )
                 )
         elif args.frontend_checkpoint:
             print(
@@ -657,6 +671,12 @@ def main(argv=None):
             )
             return 2
 
+        detections_fn = None
+        if (
+            frontend_fn is not None
+            and getattr(args, "pipeline", "windows") == "incremental"
+        ):
+            detections_fn = _frontend_detections_fn
         metrics = evaluate_vo_sequence_file(
             args.gt,
             format=args.format,
@@ -669,6 +689,8 @@ def main(argv=None):
             frontend_fn=frontend_fn,
             render_config=render_config,
             stitch=args.stitch,
+            pipeline=getattr(args, "pipeline", "windows"),
+            detections_fn=detections_fn,
         )
         print(json.dumps({k: float(v) for k, v in metrics.items()}))
         return 0

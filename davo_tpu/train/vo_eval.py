@@ -1632,6 +1632,8 @@ def evaluate_vo_sequence_file(
     frontend_fn=None,
     render_config=None,
     stitch: str = "global",
+    pipeline: str = "windows",
+    detections_fn=None,
 ) -> Dict[str, jax.Array]:
     """Windowed VO along a trajectory **loaded from a file** (TUM/KITTI).
 
@@ -1687,15 +1689,42 @@ def evaluate_vo_sequence_file(
             images = render_trajectory_images(
                 pixels, visibility, jax.random.fold_in(key, 11), render_config
             )
-        estimates = solve_windowed_vo_learned(
-            guess_fn,
-            pixels,
-            visibility,
-            seq_config,
-            stitch=stitch,
-            images=images,
-            frontend_fn=frontend_fn,
-        )
+        if pipeline == "incremental":
+            detections = det_scores = None
+            obs_pixels = pixels
+            obs_vis = visibility.astype(pixels.dtype)
+            window_obs_fn = None
+            if frontend_fn is not None:
+                tr, tv = frontend_fn(images[None])
+                obs_pixels, obs_vis = tr[0], tv[0].astype(pixels.dtype)
+
+                def window_obs_fn(s):
+                    return frontend_fn(
+                        images[s : s + seq_config.window][None]
+                    )
+
+                if detections_fn is not None:
+                    dts, dsc = detections_fn(images[None])
+                    detections, det_scores = dts[0], dsc[0]
+            estimates = solve_learned_vo_incremental(
+                guess_fn,
+                obs_pixels,
+                obs_vis,
+                seq_config,
+                detections=detections,
+                det_scores=det_scores,
+                window_obs_fn=window_obs_fn,
+            )
+        else:
+            estimates = solve_windowed_vo_learned(
+                guess_fn,
+                pixels,
+                visibility,
+                seq_config,
+                stitch=stitch,
+                images=images,
+                frontend_fn=frontend_fn,
+            )
     else:
         estimates = solve_windowed_vo(
             poses, points, pixels, visibility, seq_config, k_solve,

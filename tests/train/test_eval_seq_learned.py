@@ -77,3 +77,35 @@ def test_learned_frontend_on_sequence_file(key):
         stitch="robust",
     )
     assert np.isfinite(float(metrics["rmse"]))
+
+
+@pytest.mark.slow
+def test_incremental_pipeline_on_sequence_file(key):
+    """eval-seq with the incremental (PnP + BA) pipeline end-to-end from
+    rendered pixels along the KITTI fixture."""
+    render = RenderConfig(image_size=32)
+    fe = VOFrontend(num_select=6, descriptor_channels=16, embedding_size=16)
+    images = jax.random.uniform(key, (1, 3, 32, 32, 3))
+    fe_vars = fe.init({"params": key}, images)
+
+    def frontend_fn(imgs):
+        out = fe.apply(fe_vars, imgs)
+        return out.matches, out.match_visibility
+
+    def detections_fn(imgs):
+        out = fe.apply(fe_vars, imgs)
+        return out.points, jax.nn.sigmoid(out.scores)
+
+    metrics = evaluate_vo_sequence_file(
+        os.path.join(FIXTURES, "kitti_mini_00.txt"),
+        format="kitti",
+        config=TrajectoryConfig(window=3),
+        key=key,
+        num_points=6,
+        guess_fn=_tiny_guess(key, 3, 6),
+        frontend_fn=frontend_fn,
+        render_config=render,
+        pipeline="incremental",
+        detections_fn=detections_fn,
+    )
+    assert np.isfinite(float(metrics["rmse"]))
