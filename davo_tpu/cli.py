@@ -322,6 +322,10 @@ def main(argv=None):
     ls_p.add_argument("--no-recurrent", action="store_true")
     ls_p.add_argument("--seed", type=int, default=None)
     ls_p.add_argument("--metrics-file", default=None)
+    ls_p.add_argument(
+        "--checkpoint-file", default=None,
+        help="pickle the trained solver state here (diagnosis/re-eval)",
+    )
     ls_p.add_argument("--tensorboard-dir", default=None)
     ls_p.add_argument("--platform", default=None)
     dist_p = sub.add_parser(
@@ -737,6 +741,18 @@ def main(argv=None):
             run=manifest,
         )
         network, state, history = fit_learned_solver(ls_cfg, log_fn=logger)
+        if getattr(args, "checkpoint_file", None):
+            import pickle
+
+            with open(args.checkpoint_file, "wb") as f:
+                pickle.dump(
+                    {
+                        "params": state.params,
+                        "batch_stats": state.batch_stats,
+                        "config": dataclasses.asdict(ls_cfg),
+                    },
+                    f,
+                )
         table = compare_with_bfgs(
             network, state, ls_cfg, jax.random.key(ls_cfg.seed + 1)
         )

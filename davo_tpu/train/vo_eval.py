@@ -1033,6 +1033,40 @@ def solve_incremental_vo_detections(
     # more recovers structure that early (drifted) poses seeded badly
     run_ba()
     run_ba()
+    # trajectory-wide re-association: with converged poses the predicted
+    # projections are far sharper than the incremental pass's
+    # constant-velocity predictions, so frames that drifted or starved
+    # mid-chain recover their observations; then refit
+    for _ in range(2):
+        idx, posed, t_sub, v_sub = subset()
+        support_all = (v_sub > 0).sum(axis=0) >= 2
+        points = tri(
+            posed,
+            intrinsics,
+            t_sub,
+            jnp.asarray(v_sub * support_all[None, :].astype(vis.dtype)),
+        )
+        changed = False
+        for k in range(kf):
+            proj, in_front = project(points, pose_of[k])
+            coords, ok = _associate_detections(
+                np.array(proj),
+                support_all & np.asarray(in_front),
+                dets_np[k],
+                det_ok_np[k],
+                assoc_radius,
+            )
+            if ok.sum() > (vis[k] > 0).sum() or (
+                ok.sum() == (vis[k] > 0).sum()
+                and not np.array_equal(ok, vis[k] > 0)
+            ):
+                tracks[k] = np.where(ok[:, None], coords, tracks[k])
+                vis[k] = ok.astype(vis.dtype)
+                changed = True
+        if not changed:
+            break
+        run_ba()
+        run_ba()
     if refine_intrinsics:
         # final BA with the focal free, on THE ASSOCIATION tracks: lets
         # the full sequence correct the bootstrap focal estimate
