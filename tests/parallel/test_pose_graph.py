@@ -69,6 +69,7 @@ def test_distributed_matches_host_stitcher(rng, num_frames, window):
     )
 
 
+@pytest.mark.slow
 def test_distributed_stitcher_recovers_clean_windows(rng):
     # noise-free, unit-scale windows must stitch to the exact trajectory
     key = jax.random.key(rng.integers(1 << 30))

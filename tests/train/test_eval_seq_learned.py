@@ -36,6 +36,7 @@ def _tiny_guess(key, window, points):
     return lambda pw, vw: net.apply(variables, pw, vw)
 
 
+@pytest.mark.slow
 def test_learned_guess_on_sequence_file(key):
     """guess_fn alone: learned guess+solve on synthesized observations
     along the file trajectory."""
