@@ -938,7 +938,10 @@ def solve_incremental_vo_detections(
             vis[idx],
         )
 
+    intrinsics_box = [intrinsics]
+
     def run_ba(free_focal=False):
+        intrinsics = intrinsics_box[0]
         idx, posed, t_sub, v_sub = subset()
         # points with < 2 supporting frames have junk (min-norm)
         # triangulations; keep their observations out of the BA or the
@@ -966,12 +969,15 @@ def solve_incremental_vo_detections(
         )
         for row, i in enumerate(idx):
             pose_of[i] = ba.poses[row]
+        if free_focal:
+            intrinsics_box[0] = ba.intrinsics
 
     def project(points, pose):
+        intr = intrinsics_box[0]
         rel = rotate_vector_axis_angle(points, pose[0:3]) + pose[3:6]
         z = jnp.maximum(rel[..., 2], 1e-6)
-        u = intrinsics[0] * rel[..., 0] / z + intrinsics[1]
-        v = intrinsics[0] * rel[..., 1] / z + intrinsics[2]
+        u = intr[0] * rel[..., 0] / z + intr[1]
+        v = intr[0] * rel[..., 1] / z + intr[2]
         return jnp.stack([u, v], axis=-1), rel[..., 2] > 0.0
 
     # last observed pixel per track: lets tracks BELOW triangulation
@@ -1037,47 +1043,56 @@ def solve_incremental_vo_detections(
     # projections are far sharper than the incremental pass's
     # constant-velocity predictions, so frames that drifted or starved
     # mid-chain recover their observations; then refit
-    for _ in range(2):
-        idx, posed, t_sub, v_sub = subset()
-        support_all = (v_sub > 0).sum(axis=0) >= 2
-        points = tri(
-            posed,
-            intrinsics,
-            t_sub,
-            jnp.asarray(v_sub * support_all[None, :].astype(vis.dtype)),
-        )
-        changed = False
-        for k in range(kf):
-            proj, in_front = project(points, pose_of[k])
-            coords, ok = _associate_detections(
-                np.array(proj),
-                support_all & np.asarray(in_front),
-                dets_np[k],
-                det_ok_np[k],
-                assoc_radius,
+    def reassociate():
+        for _ in range(2):
+            idx, posed, t_sub, v_sub = subset()
+            support_all = (v_sub > 0).sum(axis=0) >= 2
+            points = tri(
+                posed,
+                intrinsics_box[0],
+                t_sub,
+                jnp.asarray(v_sub * support_all[None, :].astype(vis.dtype)),
             )
-            if ok.sum() > (vis[k] > 0).sum() or (
-                ok.sum() == (vis[k] > 0).sum()
-                and not np.array_equal(ok, vis[k] > 0)
-            ):
-                tracks[k] = np.where(ok[:, None], coords, tracks[k])
-                vis[k] = ok.astype(vis.dtype)
-                changed = True
-        if not changed:
-            break
-        run_ba()
-        run_ba()
+            changed = False
+            for k in range(kf):
+                proj, in_front = project(points, pose_of[k])
+                coords, ok = _associate_detections(
+                    np.array(proj),
+                    support_all & np.asarray(in_front),
+                    dets_np[k],
+                    det_ok_np[k],
+                    assoc_radius,
+                )
+                if ok.sum() > (vis[k] > 0).sum() or (
+                    ok.sum() == (vis[k] > 0).sum()
+                    and not np.array_equal(ok, vis[k] > 0)
+                ):
+                    tracks[k] = np.where(ok[:, None], coords, tracks[k])
+                    vis[k] = ok.astype(vis.dtype)
+                    changed = True
+            if not changed:
+                break
+            run_ba()
+            run_ba()
+
+    reassociate()
     if refine_intrinsics:
         # final BA with the focal free, on THE ASSOCIATION tracks: lets
-        # the full sequence correct the bootstrap focal estimate
+        # the full sequence correct the bootstrap focal estimate; the
+        # refined focal then re-anchors the geometry (re-associate +
+        # refit under it — the bootstrap focal error is 10-30%)
+        run_ba(free_focal=True)
+        reassociate()
         run_ba(free_focal=True)
     final = jnp.stack([pose_of[i] for i in range(kf)])
     if return_cost:
         # self-consistency: mean reprojection residual of the associated
-        # observations under the final poses/structure (no oracle data)
+        # observations under the final poses/structure/INTRINSICS
         support = (vis > 0).sum(axis=0) >= 2
         vis_eff = vis * support[None, :].astype(vis.dtype)
-        points = tri(final, intrinsics, jnp.asarray(tracks), jnp.asarray(vis_eff))
+        points = tri(
+            final, intrinsics_box[0], jnp.asarray(tracks), jnp.asarray(vis_eff)
+        )
         res = []
         for k in range(kf):
             proj, _ = project(points, final[k])
