@@ -256,7 +256,15 @@ def make_learned_solver_step(network, config: LearnedSolverExperiment):
                     baseline = jax.lax.stop_gradient(
                         jnp.maximum(prev, 1e-6)
                     )
-                    loss = jnp.mean(errors / baseline)
+                    # clip the per-step reward at halving: the raw ratio
+                    # mean is GAMEABLE (measured: blow up err_1, then
+                    # collect easy relative decreases — ratio loss 1.16
+                    # while the final error rose to 31.9), and add a
+                    # log-final term so the absolute landing point counts
+                    ratios = jnp.maximum(errors / baseline, 0.5)
+                    loss = jnp.mean(ratios) + 0.5 * jnp.mean(
+                        jnp.log(errors[-1] + 1e-6)
+                    )
                 elif config.loss_mode == "final":
                     loss = final_error
                 else:
