@@ -130,6 +130,23 @@ def bench_backend(device) -> float:
     return BATCH * ITERATIONS / per_solve
 
 
+def host_load() -> dict:
+    """Run-condition stamp: measured headline numbers vary ~5% between a
+    quiet and a contended 2-CPU host (14.34M quiet vs 13.85M driver run in
+    round 3), so the JSON records the 1-minute load average and CPU count
+    — a reader can tell which regime a number came from."""
+    try:
+        la1 = os.getloadavg()[0]
+    except OSError:
+        la1 = -1.0
+    ncpu = os.cpu_count() or 1
+    return {
+        "host_load_1min": round(la1, 2),
+        "host_cpus": ncpu,
+        "host_quiet": bool(0 <= la1 < 0.5 * ncpu),
+    }
+
+
 def main():
     accel = jax.devices()[0]
     accel_throughput = bench_backend(accel)
@@ -148,6 +165,7 @@ def main():
                 "value": round(accel_throughput, 2),
                 "unit": f"batched-BFGS-iters/s (batch={BATCH}, M=4, N=8)",
                 "vs_baseline": round(vs_baseline, 3),
+                **host_load(),
             }
         )
     )

@@ -35,11 +35,15 @@ class MetricsLogger:
     ):
         self.path = path
         self.run = run
+        self._run_id = (run or {}).get("run_id")
         self._start = time.time()
         self._writer = None
         if run is not None and path:
-            # provenance header: first JSONL record carries the run
-            # manifest (run_id, config hash, git SHA — train/runs.py)
+            # provenance header: a JSONL record carrying the run manifest
+            # (run_id, config hash, git SHA — train/runs.py).  Appending
+            # to an existing file buries this mid-stream, so every metric
+            # record is also stamped with run_id below — consumers must
+            # attribute records by run_id, not by header position.
             with open(path, "a") as f:
                 f.write(json.dumps({"run": run}) + "\n")
         if tensorboard_dir:
@@ -54,6 +58,8 @@ class MetricsLogger:
             "elapsed_s": round(time.time() - self._start, 3),
             **{k: float(v) for k, v in metrics.items()},
         }
+        if self._run_id is not None:
+            record["run_id"] = self._run_id
         line = json.dumps(record)
         print(line, flush=True)
         if self.path:

@@ -633,8 +633,11 @@ def solve_windowed_vo_learned(
             res = calibration_residuals(vec[None], w_pix)[0]  # (M, N)
             vis_b = w_vis[0] > 0
             masked = jnp.where(vis_b, res, jnp.nan)
+            # zero visible observations -> all-NaN percentile; guard so
+            # the window solve degrades gracefully instead of NaN-ing
             scale = jnp.maximum(
-                jnp.nanpercentile(masked, 70.0), 5e-3
+                jnp.nan_to_num(jnp.nanpercentile(masked, 70.0), nan=5e-3),
+                5e-3,
             )
             huber = jnp.minimum(1.0, scale / jnp.maximum(res, 1e-9))
             w_vis = (w_vis[0] * huber)[None]
@@ -749,7 +752,14 @@ def pnp_pose(
         if round_i < huber_rounds:
             norms = jnp.linalg.norm(residuals_of(pose, weights), axis=-1)
             masked = jnp.where(weights > 0, norms, jnp.nan)
-            scale = jnp.maximum(jnp.nanpercentile(masked, 70.0), 1e-3)
+            # all-zero weights make the percentile NaN (and
+            # maximum(NaN, floor) stays NaN) — guard so a degenerate call
+            # returns a finite (if useless) pose instead of poisoning
+            # every downstream frame through jnp.where
+            scale = jnp.maximum(
+                jnp.nan_to_num(jnp.nanpercentile(masked, 70.0), nan=1e-3),
+                1e-3,
+            )
             w = weights * jnp.minimum(1.0, scale / jnp.maximum(norms, 1e-9))
     return pose
 
@@ -831,13 +841,16 @@ def solve_incremental_vo(
         prev, prev2 = poses[-1], poses[-2]
         step = _to_window_frame(prev[None], prev2)[0]
         pred = _compose(prev, step)
-        n_vis = jnp.sum(vis[k] > 0)
         # tracks triangulated from >= 2 posed frames are reliable; gate
         # the PnP weights on both visibility and triangulation support
         support = jnp.sum(vis[:k] > 0, axis=0) >= 2
         w = vis[k] * support.astype(vis.dtype)
+        # acceptance must count the EFFECTIVE (support-gated) weights:
+        # with >= min_pnp_tracks visible but zero supported tracks, PnP
+        # would run on all-zero weights and return garbage
+        n_eff = jnp.sum(w > 0)
         solved_pose = pnp(points, tracks[k], w, intrinsics, pred)
-        pose_k = jnp.where(n_vis >= min_pnp_tracks, solved_pose, pred)
+        pose_k = jnp.where(n_eff >= min_pnp_tracks, solved_pose, pred)
         poses.append(pose_k)
         if (k - w0 + 1) % ba_every == 0:
             refined = run_ba(jnp.stack(poses))
@@ -999,7 +1012,10 @@ def solve_incremental_vo_detections(
     for k in order:
         idx, posed, t_sub, v_sub = subset()
         points = tri(posed, intrinsics, t_sub, jnp.asarray(v_sub))
-        support = v_sub.sum(axis=0) >= 2
+        # count observing frames, not fractional IRLS weights: bootstrap
+        # visibility is Huber-downweighted (< 1), and a track genuinely
+        # seen in both bootstrap frames must not fail support
+        support = (v_sub > 0).sum(axis=0) >= 2
         # constant-velocity prediction from the two nearest solved frames
         if k > idx[-1]:
             prev, prev2 = pose_of[idx[-1]], pose_of[idx[-2]]
@@ -1154,7 +1170,10 @@ def solve_learned_vo_incremental(
         for _ in range(max(0, irls_rounds)):
             res = calibration_residuals(vec[None], w_pix)[0]
             masked = jnp.where(w_vis[0] > 0, res, jnp.nan)
-            scale = jnp.maximum(jnp.nanpercentile(masked, 70.0), 5e-3)
+            scale = jnp.maximum(
+                jnp.nan_to_num(jnp.nanpercentile(masked, 70.0), nan=5e-3),
+                5e-3,
+            )
             huber = jnp.minimum(1.0, scale / jnp.maximum(res, 1e-9))
             w_vis = (w_vis[0] * huber)[None]
             vec = guess_fn(w_pix, w_vis)[0]
