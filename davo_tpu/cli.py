@@ -409,6 +409,23 @@ def main(argv=None):
         "descriptor ambiguity) or descriptor (matcher tracks)",
     )
     vo_p.add_argument(
+        "--pnp-ransac",
+        type=int,
+        default=0,
+        help="incremental pipeline: RANSAC subsets per per-frame PnP "
+        "(0 = plain robust LM); protects the pose from single wrong "
+        "associations",
+    )
+    vo_p.add_argument(
+        "--chain-passes",
+        type=int,
+        default=1,
+        help="incremental pipeline: total association passes; passes "
+        "after the first rebuild all associations from scratch under "
+        "the previous pass's refined trajectory, traversing in the "
+        "opposite direction",
+    )
+    vo_p.add_argument(
         "--window-irls",
         type=int,
         default=0,
@@ -973,6 +990,8 @@ def main(argv=None):
                 irls_rounds=args.window_irls,
                 pipeline=args.pipeline,
                 detections_fn=detections_fn,
+                pnp_ransac=args.pnp_ransac,
+                chain_passes=args.chain_passes,
             )
             results.append({k: float(v) for k, v in ate.items()})
             print(json.dumps({"trial": trial, **results[-1]}), flush=True)

@@ -339,6 +339,42 @@ class VOFrontend(nn.Module):
             confidence=confidence,
         )
 
+    def detect(self, images: jax.Array):
+        """Detector-only pass exposing per-detection descriptors.
+
+        The geometric-association incremental pipeline
+        (``train/vo_eval.py::solve_incremental_vo_detections``) associates
+        predicted track projections to raw detections by distance alone;
+        the detector's descriptors carry an identity signal that breaks
+        spatial ties (hard seeds: 20-40% wrong associations at blob
+        spacing ~ prediction error).  Same parameters as the full
+        ``__call__`` (the shared ``detector`` submodule).
+
+        :param images: ``(B, M, H, W, C)``.
+        :return: ``(points (B, M, K, 2), scores (B, M, K),
+            descriptors (B, M, K, D))``.
+        """
+        b, m, h, w, c = images.shape
+        feats = FeatureDetectionModule(
+            descriptor_channels=self.descriptor_channels, name="detector"
+        )(images.reshape(b * m, h, w, c), training=False)
+        k = feats.points.shape[1]
+        flat_points = feats.points
+        if self.centroid_refine_iters > 0:
+            from .detector import refine_points_centroid
+
+            flat_points = refine_points_centroid(
+                images.reshape(b * m, h, w, c),
+                flat_points,
+                iters=self.centroid_refine_iters,
+                radius_px=self.centroid_radius_px,
+            )
+        return (
+            flat_points.reshape(b, m, k, 2),
+            feats.scores.reshape(b, m, k),
+            feats.descriptors.reshape(b, m, k, -1),
+        )
+
     def _track_sequence_impl(self, points, descriptors, scores):
         """Sequential identity-chained tracking (see ``track_sequence``).
 

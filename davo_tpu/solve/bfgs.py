@@ -32,7 +32,10 @@ import jax.numpy as jnp
 
 from davo_tpu.ops.bfgs_update import fused_bfgs_update_direction
 from davo_tpu.utils import inverse_curvature
-from .line_search import line_search_wolfe_conditions
+from .line_search import (
+    line_search_backtracking,
+    line_search_wolfe_conditions,
+)
 
 __all__ = [
     "BFGSConfig",
@@ -60,6 +63,20 @@ class BFGSConfig:
     training_iterations: Optional[int] = None
     training_error_threshold: Optional[float] = None
     line_search_iterations: int = 1000
+    # Warm-start each line search from the previous iteration's accepted
+    # step size (clamped to [1/16, 16]) instead of 1.  Classic BFGS
+    # practice: the unit step is only correct once H has converged, so
+    # early iterations otherwise spend widen/zoom probes rediscovering
+    # the same scale every time.  Most elements then satisfy Wolfe at the
+    # first probe and a smaller line_search_iterations cap reaches the
+    # same final error with roughly half the probe evaluations (the
+    # dominant cost of the headline solve — see ROADMAP's SOL analysis).
+    warm_start_line_search: bool = False
+    # "wolfe" (reference parity: strong/weak Wolfe widen+zoom machine) or
+    # "backtracking" (Armijo + quadratic interpolation, value-only probes
+    # — roughly half the per-probe cost and 1-2 probes typical; the
+    # curvature condition is covered by the Hessian update's skip guard).
+    line_search_method: str = "wolfe"
     max_step_size: Optional[float] = None
     zoom_method: str = "bisection"
     strong: bool = True
@@ -221,6 +238,10 @@ def bfgs_solve(
         ``solvers/search_direction_networks/i_modify_search_directions.py``).
     :return: ``(B..., P)`` optimised parameters.
     """
+    if config.line_search_method not in ("wolfe", "backtracking"):
+        raise ValueError(
+            f"unknown line_search_method {config.line_search_method!r}"
+        )
     if differentiable is None:
         differentiable = training
     iterations, threshold = config.resolve(training)
@@ -262,7 +283,7 @@ def bfgs_solve(
             inverse_hessian = jnp.broadcast_to(
                 jnp.eye(p, dtype=h_dtype), batch_shape + (p, p)
             )
-        return dict(
+        carry = dict(
             params=params,
             error=jnp.zeros(batch_shape, dtype=dtype),
             gradient=jnp.zeros_like(params),
@@ -272,6 +293,9 @@ def bfgs_solve(
             step_idx=jnp.zeros((), dtype=jnp.int32),
             key=key,
         )
+        if config.warm_start_line_search:
+            carry["alpha"] = jnp.ones(batch_shape, dtype=dtype)
+        return carry
 
     def solver_step(carry):
         params = carry["params"]
@@ -347,20 +371,36 @@ def bfgs_solve(
             )
 
         # --- line search + step -----------------------------------------
-        alpha = line_search_wolfe_conditions(
-            params,
-            search_direction,
-            error,
-            gradient,
-            error_function,
-            sufficient_decrease=config.sufficient_decrease,
-            curvature=config.curvature,
-            strong=config.strong,
-            max_iterations=config.line_search_iterations,
-            max_step_size=config.max_step_size,
-            zoom_method=config.zoom_method,
-            active=updating,
-        )
+        if config.line_search_method == "backtracking":
+            alpha = line_search_backtracking(
+                params,
+                search_direction,
+                error,
+                gradient,
+                error_function,
+                sufficient_decrease=config.sufficient_decrease,
+                max_iterations=config.line_search_iterations,
+                active=updating,
+            )
+        else:
+            init_alpha = None
+            if config.warm_start_line_search:
+                init_alpha = jnp.clip(carry["alpha"], 1.0 / 16.0, 16.0)
+            alpha = line_search_wolfe_conditions(
+                params,
+                search_direction,
+                error,
+                gradient,
+                error_function,
+                sufficient_decrease=config.sufficient_decrease,
+                curvature=config.curvature,
+                strong=config.strong,
+                max_iterations=config.line_search_iterations,
+                max_step_size=config.max_step_size,
+                zoom_method=config.zoom_method,
+                active=updating,
+                init_alpha=init_alpha,
+            )
         new_step = alpha[..., None] * search_direction
         stepped_params = params + new_step
         step = jnp.where(updating[..., None], new_step, carry["step"])
@@ -379,7 +419,7 @@ def bfgs_solve(
                 jnp.linalg.norm(step, axis=-1) > config.minimum_step
             )
 
-        return dict(
+        out = dict(
             params=params,
             error=error,
             gradient=gradient,
@@ -389,6 +429,13 @@ def bfgs_solve(
             step_idx=step_idx + 1,
             key=next_key,
         )
+        if config.warm_start_line_search:
+            # carry the accepted step size forward; failed searches
+            # (alpha 0) fall back to the unit step
+            out["alpha"] = jnp.where(
+                updating & (alpha > 0), alpha, carry["alpha"]
+            )
+        return out
 
     if differentiable:
         step_fn = jax.checkpoint(solver_step)

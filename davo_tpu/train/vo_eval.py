@@ -865,14 +865,21 @@ def _associate_detections(
     dets: np.ndarray,
     det_ok: np.ndarray,
     radius: float,
+    desc_cost: np.ndarray | None = None,
 ):
     """Greedy 1-1 nearest association of predicted track projections to
-    detections (host-side; N and D are tiny)."""
+    detections (host-side; N and D are tiny).
+
+    ``desc_cost`` (N_tracks, D_dets), when given, is ADDED to the spatial
+    distance before the greedy assignment — an identity tie-break from
+    the detector's descriptors.  The spatial gate (``radius``) is applied
+    to the spatial part alone so descriptors cannot admit a far match."""
     n, d = proj.shape[0], dets.shape[0]
-    cost = np.linalg.norm(proj[:, None, :] - dets[None, :, :], axis=-1)
+    spatial = np.linalg.norm(proj[:, None, :] - dets[None, :, :], axis=-1)
+    cost = spatial if desc_cost is None else spatial + desc_cost
     cost[~active, :] = np.inf
     cost[:, ~det_ok] = np.inf
-    cost[cost > radius] = np.inf
+    cost[spatial > radius] = np.inf
     coords = np.zeros((n, 2), proj.dtype)
     vis = np.zeros((n,), bool)
     for _ in range(min(n, d)):
@@ -902,6 +909,15 @@ def solve_incremental_vo_detections(
     refine_intrinsics: bool = False,
     bootstrap_start: int = 0,
     return_cost: bool = False,
+    pnp_ransac: int = 0,
+    ransac_inlier_radius: float = 0.03,
+    chain_passes: int = 1,
+    reject_outliers: bool = False,
+    reject_radius: float = 0.025,
+    ba_irls: int = 0,
+    det_descriptors: jax.Array | None = None,
+    desc_weight: float = 0.0,
+    debug_out: dict | None = None,
 ) -> jax.Array:
     """Incremental SfM with **geometric data association**.
 
@@ -920,6 +936,22 @@ def solve_incremental_vo_detections(
     :param det_scores: ``(K, D)`` detection probabilities.
     :param bootstrap_tracks: ``(W0, N, 2)`` matcher-derived observations
         of the first window (identity over one window is reliable).
+    :param pnp_ransac: with ``> 0``, each per-frame PnP becomes a RANSAC
+        over association subsets: this many random minimal subsets (plus
+        the all-association candidate) are LM-solved in one vmapped
+        batch, scored by inlier count at ``ransac_inlier_radius``, and
+        the winner is refit on its inliers — a single wrong-but-plausible
+        association can no longer drag the pose (the round-3 hard-seed
+        failure mode).
+    :param chain_passes: total association passes over the sequence.
+        Passes after the first rebuild the track table from scratch
+        (bootstrap observations only) and predict each frame's pose from
+        the previous pass's refined estimate instead of constant velocity —
+        early-drift associations baked into pass 1's structure are
+        re-made under far better predictions instead of merely being
+        patched by re-association.
+    :param debug_out: optional dict filled with the final ``tracks``,
+        ``vis``, ``intrinsics`` and per-pass diagnostics.
     :return: ``(K, 6)`` world->camera poses.
     """
     kf = detections.shape[0]
@@ -942,6 +974,57 @@ def solve_incremental_vo_detections(
     in_bounds = np.all(np.abs(dets_np) < 1.0, axis=-1)
     det_ok_np = det_ok_np & in_bounds
 
+    # --- descriptor identity state (optional) ---------------------------
+    use_desc = det_descriptors is not None and desc_weight > 0.0
+    if use_desc:
+        desc_np = np.asarray(det_descriptors)
+        desc_np = desc_np / np.maximum(
+            np.linalg.norm(desc_np, axis=-1, keepdims=True), 1e-9
+        )  # (K, D_dets, C)
+        track_desc = np.zeros((n, desc_np.shape[-1]), desc_np.dtype)
+
+        def _desc_update(track_ids, frame, coords):
+            '''Fold the descriptors of accepted detections into the
+            per-track reference (EMA then re-normalise).'''
+            d = np.linalg.norm(
+                coords[:, None, :] - dets_np[frame][None, :, :], axis=-1
+            )
+            j = d.argmin(axis=1)
+            near = d[np.arange(len(j)), j] < 0.02
+            for t, det_j, is_near in zip(track_ids, j, near):
+                if not is_near:
+                    continue
+                blend = 0.7 * track_desc[t] + 0.3 * desc_np[frame, det_j]
+                track_desc[t] = blend / max(np.linalg.norm(blend), 1e-9)
+
+        def _desc_cost(frame):
+            '''(n, D_dets) additive association cost: scaled cosine
+            distance of each track reference to each detection.'''
+            cos = track_desc @ desc_np[frame].T  # (n, D_dets)
+            cost = desc_weight * (1.0 - cos)
+            # tracks with no reference yet cost nothing
+            has_ref = np.linalg.norm(track_desc, axis=-1) > 0.5
+            cost[~has_ref] = 0.0
+            return cost
+
+        def _desc_reset():
+            track_desc[:] = 0.0
+            for f in range(s0, s0 + w0):
+                seen = np.flatnonzero(vis[f] > 0)
+                _desc_update(seen, f, tracks[f][seen])
+
+        _desc_reset()
+    else:
+
+        def _desc_cost(frame):  # noqa: ANN001
+            return None
+
+        def _desc_update(track_ids, frame, coords):  # noqa: ANN001
+            return None
+
+        def _desc_reset():
+            return None
+
     def subset():
         idx = sorted(solved_frames)
         return (
@@ -953,37 +1036,90 @@ def solve_incremental_vo_detections(
 
     intrinsics_box = [intrinsics]
 
-    def run_ba(free_focal=False):
-        intrinsics = intrinsics_box[0]
-        idx, posed, t_sub, v_sub = subset()
-        # points with < 2 supporting frames have junk (min-norm)
-        # triangulations; keep their observations out of the BA or the
-        # f32 solve can blow up through the rank-deficient point block
-        support = (v_sub > 0).sum(axis=0) >= 2
-        vis_eff = jnp.asarray(v_sub * support[None, :].astype(vis.dtype))
-        points = tri(posed, intrinsics, t_sub, vis_eff)
-        # scale gauge: pin the z of the BEST-SUPPORTED point — pinning a
-        # barely-observed point leaves the scale direction loose and the
-        # f32 solve drifts along it (measured: 1e6-sized poses); pose
-        # gauge: pin the bootstrap anchor
-        gauge_pt = int(np.argmax((v_sub > 0).sum(axis=0)))
-        anchor_row = idx.index(s0)
-        masks = (
-            jnp.asarray([free_focal, False, False]),
-            jnp.ones((len(idx), 6), dtype=bool).at[anchor_row].set(False),
-            jnp.ones((n, 3), dtype=bool).at[gauge_pt, 2].set(False),
-        )
-        ba = schur_ba_solve(
-            BAProblem(intrinsics=intrinsics, poses=posed, points=points),
-            BAObservations(pixels=t_sub, visibility=vis_eff),
-            solver if not free_focal
-            else SchurConfig(iterations=15, damping=1e-3),
-            gauge_masks=masks,
-        )
-        for row, i in enumerate(idx):
-            pose_of[i] = ba.poses[row]
-        if free_focal:
-            intrinsics_box[0] = ba.intrinsics
+    def run_ba(free_focal=False, reject=False):
+        # round structure: [irls rounds...] -> solve -> [reject + resolve]
+        irls_w = None  # soft per-call weights, NOT persisted to the table
+        for ba_round in range(1 + max(0, ba_irls) + (1 if reject else 0)):
+            intrinsics = intrinsics_box[0]
+            idx, posed, t_sub, v_sub = subset()
+            if irls_w is not None:
+                v_sub = v_sub * irls_w
+            # points with < 2 supporting frames have junk (min-norm)
+            # triangulations; keep their observations out of the BA or
+            # the f32 solve can blow up through the rank-deficient point
+            # block
+            support = (v_sub > 0).sum(axis=0) >= 2
+            vis_eff = jnp.asarray(
+                v_sub * support[None, :].astype(vis.dtype)
+            )
+            points = tri(posed, intrinsics, t_sub, vis_eff)
+            # scale gauge: pin the z of the BEST-SUPPORTED point —
+            # pinning a barely-observed point leaves the scale direction
+            # loose and the f32 solve drifts along it (measured:
+            # 1e6-sized poses); pose gauge: pin the bootstrap anchor
+            gauge_pt = int(np.argmax((v_sub > 0).sum(axis=0)))
+            anchor_row = idx.index(s0)
+            masks = (
+                jnp.asarray([free_focal, False, False]),
+                jnp.ones((len(idx), 6), dtype=bool)
+                .at[anchor_row]
+                .set(False),
+                jnp.ones((n, 3), dtype=bool).at[gauge_pt, 2].set(False),
+            )
+            ba = schur_ba_solve(
+                BAProblem(
+                    intrinsics=intrinsics, poses=posed, points=points
+                ),
+                BAObservations(pixels=t_sub, visibility=vis_eff),
+                solver if not free_focal
+                else SchurConfig(iterations=15, damping=1e-3),
+                gauge_masks=masks,
+            )
+            for row, i in enumerate(idx):
+                pose_of[i] = ba.poses[row]
+            if free_focal:
+                intrinsics_box[0] = ba.intrinsics
+            is_last = ba_round == max(0, ba_irls) + (1 if reject else 0)
+            if is_last:
+                break
+            # residuals under the freshly solved geometry
+            idx2, posed2, t_sub2, v_sub2 = subset()
+            support2 = (v_sub2 > 0).sum(axis=0) >= 2
+            vis_eff2 = v_sub2 * support2[None, :].astype(vis.dtype)
+            points2 = tri(
+                posed2, intrinsics_box[0], t_sub2, jnp.asarray(vis_eff2)
+            )
+            proj = jax.vmap(lambda p: project(points2, p)[0])(posed2)
+            res = np.linalg.norm(
+                np.asarray(proj) - np.asarray(t_sub2), axis=-1
+            )
+            visb = vis_eff2 > 0
+            if not visb.any():
+                break
+            med = float(np.median(res[visb]))
+            if ba_round < max(0, ba_irls):
+                # soft Huber reweighting within this BA call only:
+                # observations far above the median residual lose weight
+                # but keep constraining — gentler than hard rejection,
+                # which was measured to make a wrong-but-consistent basin
+                # MORE self-consistent by trimming its dissenters
+                scale = max(2.0 * med, 5e-3)
+                irls_w = np.minimum(1.0, scale / np.maximum(res, 1e-9))
+                continue
+            # observation-level outlier rejection: wrong-but-plausible
+            # associations survive the association gates and corrupt the
+            # whole geometry through BA (hard seeds: 20-40% of the
+            # observations sit > 4x the median residual).  Detection
+            # error is ~0.003-0.006, so anything far above the median
+            # residual under the *converged* solution is a wrong
+            # association, not noise — cut it from the track table and
+            # re-solve once.
+            thr = max(4.0 * med, reject_radius)
+            bad = visb & (res > thr)
+            if not bad.any():
+                break
+            for row, i in enumerate(idx2):
+                vis[i][bad[row]] = 0.0
 
     def project(points, pose):
         intr = intrinsics_box[0]
@@ -1005,56 +1141,154 @@ def solve_incremental_vo_detections(
         last_pos[seen] = tracks[f][seen]
         last_seen |= seen
 
+    rng = np.random.default_rng(20240 + s0)
+    pnp_batch = jax.jit(
+        jax.vmap(pnp_pose, in_axes=(None, None, 0, None, None))
+    )
+
+    def ransac_pnp(points, coords, pnp_ok, pose_init):
+        """RANSAC over association subsets: solve PnP on random minimal
+        subsets + the full set in one vmapped batch, keep the candidate
+        with the most reprojection inliers, refit on its inliers."""
+        ok_idx = np.flatnonzero(pnp_ok)
+        full_w = pnp_ok.astype(vis.dtype)
+        if pnp_ransac <= 0 or ok_idx.size <= min_pnp_tracks + 1:
+            return pnp(
+                points, jnp.asarray(coords), jnp.asarray(full_w),
+                intrinsics, pose_init,
+            )
+        subset = max(4, min_pnp_tracks)
+        cand_w = [full_w]
+        for _ in range(pnp_ransac):
+            pick = rng.choice(ok_idx, size=min(subset, ok_idx.size),
+                              replace=False)
+            w_s = np.zeros_like(full_w)
+            w_s[pick] = 1.0
+            cand_w.append(w_s)
+        cand_poses = pnp_batch(
+            points, jnp.asarray(coords), jnp.asarray(np.stack(cand_w)),
+            intrinsics, pose_init,
+        )
+        # score every candidate against ALL associated tracks
+        proj_c = jax.vmap(lambda p: project(points, p)[0])(cand_poses)
+        res = np.linalg.norm(np.asarray(proj_c) - coords[None], axis=-1)
+        res = np.where(pnp_ok[None], res, np.inf)
+        inl = res < ransac_inlier_radius
+        counts = inl.sum(axis=1)
+        mean_res = np.where(
+            counts > 0,
+            np.where(inl, res, 0.0).sum(axis=1) / np.maximum(counts, 1),
+            np.inf,
+        )
+        best = int(np.lexsort((mean_res, -counts))[0])
+        best_inl = inl[best]
+        if counts[best] >= min_pnp_tracks and not best_inl.all():
+            return pnp(
+                points, jnp.asarray(coords),
+                jnp.asarray(best_inl.astype(vis.dtype)),
+                intrinsics, cand_poses[best],
+            )
+        return cand_poses[best]
+
+    def run_chain(order, pred_of=None):
+        """One association pass over ``order``.  ``pred_of`` (frame ->
+        pose) overrides the constant-velocity prediction (used by passes
+        seeded from a previous pass's refined trajectory)."""
+        nonlocal since_ba, last_seen
+        for k in order:
+            idx, posed, t_sub, v_sub = subset()
+            points = tri(posed, intrinsics, t_sub, jnp.asarray(v_sub))
+            # count observing frames, not fractional IRLS weights:
+            # bootstrap visibility is Huber-downweighted (< 1), and a
+            # track genuinely seen in both bootstrap frames must not
+            # fail support
+            support = (v_sub > 0).sum(axis=0) >= 2
+            if pred_of is not None and k in pred_of:
+                pose_k = pred_of[k]
+            else:
+                # constant-velocity prediction from the two nearest
+                # solved frames
+                if k > idx[-1]:
+                    prev, prev2 = pose_of[idx[-1]], pose_of[idx[-2]]
+                else:
+                    prev, prev2 = pose_of[idx[0]], pose_of[idx[1]]
+                step = _to_window_frame(prev[None], prev2)[0]
+                pose_k = _compose(prev, step)
+            for _ in range(3):  # associate -> PnP rounds
+                proj, in_front = project(points, pose_k)
+                proj = np.array(proj)  # writable host copy
+                active = (support & np.asarray(in_front)) | last_seen
+                unsupported = ~(support & np.asarray(in_front)) & last_seen
+                proj[unsupported] = last_pos[unsupported]
+                coords, ok = _associate_detections(
+                    proj, active, dets_np[k], det_ok_np[k], assoc_radius,
+                    desc_cost=_desc_cost(k),
+                )
+                pnp_ok = ok & support  # only triangulated tracks
+                if pnp_ok.sum() < min_pnp_tracks:
+                    break
+                pose_k = ransac_pnp(points, coords, pnp_ok, pose_k)
+            if reject_outliers and (ok & support).sum() >= min_pnp_tracks:
+                # cut associations inconsistent with the accepted pose
+                # BEFORE they enter the track table: a wrong association
+                # at 4x the median residual is identity error, not
+                # detection noise, and online BA would bake it in
+                proj, _ = project(points, pose_k)
+                res = np.linalg.norm(np.asarray(proj) - coords, axis=-1)
+                checked = ok & support
+                med = float(np.median(res[checked]))
+                bad = checked & (res > max(4.0 * med, reject_radius))
+                ok = ok & ~bad
+            tracks[k] = coords
+            vis[k] = ok.astype(vis.dtype)
+            last_pos[ok] = coords[ok]
+            last_seen |= ok
+            if use_desc:
+                _desc_update(np.flatnonzero(ok), k, coords[ok])
+            pose_of[k] = pose_k
+            if k not in solved_frames:
+                solved_frames.append(k)
+            since_ba += 1
+            if since_ba % ba_every == 0:
+                run_ba()
+
     # forward from the bootstrap, then backward from it — an arbitrary
     # bootstrap window covers the whole sequence
     order = list(range(s0 + w0, kf)) + list(range(s0 - 1, -1, -1))
     since_ba = 0
-    for k in order:
-        idx, posed, t_sub, v_sub = subset()
-        points = tri(posed, intrinsics, t_sub, jnp.asarray(v_sub))
-        # count observing frames, not fractional IRLS weights: bootstrap
-        # visibility is Huber-downweighted (< 1), and a track genuinely
-        # seen in both bootstrap frames must not fail support
-        support = (v_sub > 0).sum(axis=0) >= 2
-        # constant-velocity prediction from the two nearest solved frames
-        if k > idx[-1]:
-            prev, prev2 = pose_of[idx[-1]], pose_of[idx[-2]]
-        else:
-            prev, prev2 = pose_of[idx[0]], pose_of[idx[1]]
-        step = _to_window_frame(prev[None], prev2)[0]
-        pose_k = _compose(prev, step)
-        for _ in range(3):  # associate -> PnP rounds
-            proj, in_front = project(points, pose_k)
-            proj = np.array(proj)  # writable host copy
-            active = (support & np.asarray(in_front)) | last_seen
-            unsupported = ~(support & np.asarray(in_front)) & last_seen
-            proj[unsupported] = last_pos[unsupported]
-            coords, ok = _associate_detections(
-                proj, active, dets_np[k], det_ok_np[k], assoc_radius
-            )
-            pnp_ok = ok & support  # only triangulated tracks constrain PnP
-            if pnp_ok.sum() < min_pnp_tracks:
-                break
-            pose_k = pnp(
-                points,
-                jnp.asarray(coords),
-                jnp.asarray(pnp_ok, vis.dtype),
-                intrinsics,
-                pose_k,
-            )
-        tracks[k] = coords
-        vis[k] = ok.astype(vis.dtype)
-        last_pos[ok] = coords[ok]
-        last_seen |= ok
-        pose_of[k] = pose_k
-        solved_frames.append(k)
-        since_ba += 1
-        if since_ba % ba_every == 0:
-            run_ba()
+    run_chain(order)
     # final alternation: re-triangulating from the refined poses once
     # more recovers structure that early (drifted) poses seeded badly
+    run_ba(reject=reject_outliers)
     run_ba()
-    run_ba()
+
+    for extra_pass in range(max(0, chain_passes - 1)):
+        # re-make every association from scratch under the refined
+        # trajectory: pass 1's structure was accumulated with weak
+        # constant-velocity predictions, and its early mistakes are a
+        # fixed point of re-association (wrong points attract the same
+        # wrong detections).  Reset the track table to the bootstrap
+        # observations, keep only the refined poses as predictions, and
+        # traverse in the opposite direction so the previously-last
+        # (best-constrained) frames seed the structure.
+        pred_of = dict(pose_of)
+        tracks[:] = 0.0
+        vis[:] = 0.0
+        tracks[s0 : s0 + w0] = np.asarray(bootstrap_tracks)
+        vis[s0 : s0 + w0] = np.asarray(bootstrap_vis, vis.dtype)
+        solved_frames.clear()
+        solved_frames.extend(range(s0, s0 + w0))
+        last_pos[:] = 0.0
+        last_seen[:] = False
+        for f in range(s0, s0 + w0):
+            seen = vis[f] > 0
+            last_pos[seen] = tracks[f][seen]
+            last_seen |= seen
+        _desc_reset()
+        since_ba = 0
+        run_chain(order, pred_of=pred_of)
+        run_ba(reject=reject_outliers)
+        run_ba()
     # trajectory-wide re-association: with converged poses the predicted
     # projections are far sharper than the incremental pass's
     # constant-velocity predictions, so frames that drifted or starved
@@ -1078,6 +1312,7 @@ def solve_incremental_vo_detections(
                     dets_np[k],
                     det_ok_np[k],
                     assoc_radius,
+                    desc_cost=_desc_cost(k),
                 )
                 if ok.sum() > (vis[k] > 0).sum() or (
                     ok.sum() == (vis[k] > 0).sum()
@@ -1088,7 +1323,7 @@ def solve_incremental_vo_detections(
                     changed = True
             if not changed:
                 break
-            run_ba()
+            run_ba(reject=reject_outliers)
             run_ba()
 
     reassociate()
@@ -1101,6 +1336,12 @@ def solve_incremental_vo_detections(
         reassociate()
         run_ba(free_focal=True)
     final = jnp.stack([pose_of[i] for i in range(kf)])
+    if debug_out is not None:
+        debug_out["tracks"] = tracks.copy()
+        debug_out["vis"] = vis.copy()
+        debug_out["intrinsics"] = np.asarray(intrinsics_box[0])
+        debug_out["poses"] = np.asarray(final)
+        debug_out["bootstrap_start"] = s0
     if return_cost:
         # self-consistency: mean reprojection residual of the associated
         # observations under the final poses/structure/INTRINSICS
@@ -1115,11 +1356,18 @@ def solve_incremental_vo_detections(
             r = np.linalg.norm(np.array(proj) - tracks[k], axis=-1)
             res.append(r[vis_eff[k] > 0])
         res = np.concatenate(res) if res else np.asarray([np.inf])
-        count = float((vis_eff > 0).sum())
-        # mean residual, penalising low association coverage
-        cost = float(np.mean(res)) + 0.1 * max(
-            0.0, 1.0 - count / (0.5 * kf * n)
+        # PER-FRAME coverage penalty: a frame with fewer than
+        # min_pnp_tracks associations is pose-unconstrained — its pose is
+        # pure prediction and contributes (misleadingly) ~zero residual.
+        # The round-3 selector used a total-coverage penalty, which let a
+        # chain that never associated frames far from its bootstrap win
+        # on residual alone (measured: cost 0.013 / ATE 10.4 chosen over
+        # cost 0.018 / ATE 0.88).
+        per_frame = (vis_eff > 0).sum(axis=1)
+        deficit = np.maximum(
+            0.0, 1.0 - per_frame / max(1, min_pnp_tracks + 1)
         )
+        cost = float(np.mean(res)) + 0.1 * float(np.mean(deficit))
         return final, cost
     return final
 
@@ -1135,6 +1383,13 @@ def solve_learned_vo_incremental(
     det_scores: jax.Array | None = None,
     window_obs_fn=None,
     num_bootstraps: int = 3,
+    pnp_ransac: int = 0,
+    chain_passes: int = 1,
+    reject_outliers: bool = False,
+    ba_irls: int = 0,
+    det_descriptors: jax.Array | None = None,
+    desc_weight: float = 0.0,
+    debug_out: dict | None = None,
 ) -> jax.Array:
     """Fully-learned incremental VO: bootstrap window + global tracks.
 
@@ -1217,8 +1472,10 @@ def solve_learned_vo_incremental(
                 }
             )
         best = None
+        all_costs = {}
         for s in starts:
             boot_est, intrinsics, b_pix, b_vis = bootstrap(s)
+            dbg = {} if debug_out is not None else None
             est, cost = solve_incremental_vo_detections(
                 detections,
                 det_scores,
@@ -1229,9 +1486,26 @@ def solve_learned_vo_incremental(
                 refine_intrinsics=refine_intrinsics,
                 bootstrap_start=s,
                 return_cost=True,
+                pnp_ransac=pnp_ransac,
+                chain_passes=chain_passes,
+                reject_outliers=reject_outliers,
+                ba_irls=ba_irls,
+                det_descriptors=det_descriptors,
+                desc_weight=desc_weight,
+                debug_out=dbg,
             )
+            all_costs[s] = float(cost)
+            if debug_out is not None:
+                debug_out.setdefault("candidates", {})[s] = (
+                    float(cost),
+                    np.asarray(est),
+                )
             if best is None or cost < best[0]:
-                best = (cost, est)
+                best = (cost, est, s, dbg)
+        if debug_out is not None:
+            debug_out.update(best[3] or {})
+            debug_out["bootstrap_costs"] = all_costs
+            debug_out["chosen_bootstrap"] = best[2]
         return best[1]
 
     boot_est, intrinsics, _, _ = bootstrap(0)
@@ -1535,6 +1809,14 @@ def evaluate_learned_vo(
     irls_rounds: int = 0,
     pipeline: str = "windows",
     detections_fn=None,
+    pnp_ransac: int = 0,
+    chain_passes: int = 1,
+    reject_outliers: bool = False,
+    ba_irls: int = 0,
+    num_bootstraps: int = 3,
+    descriptors_fn=None,
+    desc_weight: float = 0.0,
+    debug_out: dict | None = None,
 ) -> Dict[str, jax.Array]:
     """Generate a sequence, run the full learned VO (optionally followed by
     global BA refinement — single-start or ``multistart`` scale-mode
@@ -1567,10 +1849,13 @@ def evaluate_learned_vo(
         # PnP/triangulation/BA accumulator — per-window solves are only
         # used to bootstrap the first window
         detections = det_scores = None
+        det_descriptors = None
         window_obs_fn = None
         if detections_fn is not None and images is not None:
             dets, dscores = detections_fn(images[None])
             detections, det_scores = dets[0], dscores[0]
+            if descriptors_fn is not None and desc_weight > 0.0:
+                det_descriptors = descriptors_fn(images[None])[0]
         if frontend_fn is not None and images is not None:
             # candidate bootstrap windows are matched FRESH with their own
             # anchor frame (identity within one window is reliable; the
@@ -1586,6 +1871,14 @@ def evaluate_learned_vo(
             detections=detections,
             det_scores=det_scores,
             window_obs_fn=window_obs_fn,
+            pnp_ransac=pnp_ransac,
+            chain_passes=chain_passes,
+            reject_outliers=reject_outliers,
+            ba_irls=ba_irls,
+            num_bootstraps=num_bootstraps,
+            det_descriptors=det_descriptors,
+            desc_weight=desc_weight,
+            debug_out=debug_out,
         )
     elif pipeline == "windows":
         estimates = solve_windowed_vo_learned(

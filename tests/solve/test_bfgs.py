@@ -48,6 +48,30 @@ class TestConvergence:
         out = bfgs_solve(rosenbrock_function, x0, cfg)
         np.testing.assert_allclose(out, np.ones_like(x0), atol=0.02)
 
+    def test_warm_start_line_search_matches(self, rng):
+        # warm-starting alpha from the previous accepted step must reach
+        # the same minima (sphere + rosenbrock), including with a tight
+        # probe cap where the cold start degrades
+        x0 = jnp.asarray(rng.normal(size=(8, 4)) * 3.0)
+        cfg = BFGSConfig(
+            error_threshold=1e-8,
+            iterations=100,
+            drop_path_p=0.0,
+            warm_start_line_search=True,
+            line_search_iterations=5,
+        )
+        out = bfgs_solve(square_error, x0, cfg)
+        np.testing.assert_allclose(out, np.zeros_like(x0), atol=1e-4)
+        x1 = jnp.asarray(rng.normal(size=(6, 2)) * 0.5)
+        cfg_r = BFGSConfig(
+            error_threshold=1e-10,
+            iterations=300,
+            drop_path_p=0.0,
+            warm_start_line_search=True,
+        )
+        out_r = bfgs_solve(rosenbrock_function, x1, cfg_r)
+        np.testing.assert_allclose(out_r, np.ones_like(x1), atol=0.02)
+
     def test_beale(self, rng):
         x0 = jnp.asarray([[2.5, 0.3], [3.5, 0.8], [2.8, 0.2]])
         cfg = BFGSConfig(error_threshold=1e-12, iterations=200, drop_path_p=0.0)
