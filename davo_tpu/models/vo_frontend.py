@@ -25,7 +25,7 @@ from davo_tpu.types import FeaturePoints
 from .detector import FeatureDetectionModule
 from .matcher import FeatureMatchModule
 
-__all__ = ["FrontendOutput", "VOFrontend", "select_matches"]
+__all__ = ["FrontendOutput", "VOFrontend", "select_matches", "frontend_detect"]
 
 
 class FrontendOutput(NamedTuple):
@@ -339,42 +339,6 @@ class VOFrontend(nn.Module):
             confidence=confidence,
         )
 
-    def detect(self, images: jax.Array):
-        """Detector-only pass exposing per-detection descriptors.
-
-        The geometric-association incremental pipeline
-        (``train/vo_eval.py::solve_incremental_vo_detections``) associates
-        predicted track projections to raw detections by distance alone;
-        the detector's descriptors carry an identity signal that breaks
-        spatial ties (hard seeds: 20-40% wrong associations at blob
-        spacing ~ prediction error).  Same parameters as the full
-        ``__call__`` (the shared ``detector`` submodule).
-
-        :param images: ``(B, M, H, W, C)``.
-        :return: ``(points (B, M, K, 2), scores (B, M, K),
-            descriptors (B, M, K, D))``.
-        """
-        b, m, h, w, c = images.shape
-        feats = FeatureDetectionModule(
-            descriptor_channels=self.descriptor_channels, name="detector"
-        )(images.reshape(b * m, h, w, c), training=False)
-        k = feats.points.shape[1]
-        flat_points = feats.points
-        if self.centroid_refine_iters > 0:
-            from .detector import refine_points_centroid
-
-            flat_points = refine_points_centroid(
-                images.reshape(b * m, h, w, c),
-                flat_points,
-                iters=self.centroid_refine_iters,
-                radius_px=self.centroid_radius_px,
-            )
-        return (
-            flat_points.reshape(b, m, k, 2),
-            feats.scores.reshape(b, m, k),
-            feats.descriptors.reshape(b, m, k, -1),
-        )
-
     def _track_sequence_impl(self, points, descriptors, scores):
         """Sequential identity-chained tracking (see ``track_sequence``).
 
@@ -484,3 +448,46 @@ class VOFrontend(nn.Module):
             match_visibility=visibility,
             confidence=None,
         )
+
+
+def frontend_detect(frontend: "VOFrontend", variables, images: jax.Array):
+    """Detector-only pass exposing per-detection descriptors.
+
+    The geometric-association incremental pipeline
+    (``train/vo_eval.py::solve_incremental_vo_detections``) associates
+    predicted track projections to raw detections by distance alone; the
+    detector's descriptors carry an identity signal that breaks spatial
+    ties (hard seeds: 20-40% wrong associations at blob spacing ~
+    prediction error).  Applies the frontend's ``detector`` submodule
+    directly with the matching variable subtree (a flax method cannot
+    instantiate submodules outside its one ``@compact`` method).
+
+    :param variables: the full VOFrontend variable dict.
+    :param images: ``(B, M, H, W, C)``.
+    :return: ``(points (B, M, K, 2), scores (B, M, K),
+        descriptors (B, M, K, D))``.
+    """
+    b, m, h, w, c = images.shape
+    detector = FeatureDetectionModule(
+        descriptor_channels=frontend.descriptor_channels
+    )
+    sub = {"params": variables["params"]["detector"]}
+    if variables.get("batch_stats", {}).get("detector"):
+        sub["batch_stats"] = variables["batch_stats"]["detector"]
+    feats = detector.apply(sub, images.reshape(b * m, h, w, c), training=False)
+    k = feats.points.shape[1]
+    flat_points = feats.points
+    if frontend.centroid_refine_iters > 0:
+        from .detector import refine_points_centroid
+
+        flat_points = refine_points_centroid(
+            images.reshape(b * m, h, w, c),
+            flat_points,
+            iters=frontend.centroid_refine_iters,
+            radius_px=frontend.centroid_radius_px,
+        )
+    return (
+        flat_points.reshape(b, m, k, 2),
+        feats.scores.reshape(b, m, k),
+        feats.descriptors.reshape(b, m, k, -1),
+    )

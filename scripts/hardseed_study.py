@@ -125,12 +125,11 @@ def build_fns():
         out = frontend_net.apply(fe_vars, images)
         return out.points, jax.nn.sigmoid(out.scores)
 
+    from davo_tpu.models.vo_frontend import frontend_detect
+
     @jax.jit
     def descriptors_fn(images):
-        from davo_tpu.models import VOFrontend as _V
-        return frontend_net.apply(
-            fe_vars, images, method=_V.detect
-        )[2]
+        return frontend_detect(frontend_net, fe_vars, images)[2]
 
     return guess_fn, frontend_fn, detections_fn, descriptors_fn, render_config
 
