@@ -764,6 +764,19 @@ def pnp_pose(
     return pose
 
 
+# Module-level jitted helpers: the incremental pipeline calls these from
+# host loops, per bootstrap-candidate chain and per frame — per-call
+# ``jax.jit`` wrappers would re-trace and re-compile everything for every
+# candidate chain (measured: 13-chain sweeps exhaust XLA:CPU's executable
+# code sections with "Cannot allocate memory"), while one module-level
+# wrapper compiles once per shape for the whole process.
+_pnp_jit = jax.jit(pnp_pose)
+_tri_jit = jax.jit(triangulate_points)
+_pnp_batch_jit = jax.jit(
+    jax.vmap(pnp_pose, in_axes=(None, None, 0, None, None))
+)
+
+
 @_full_f32_matmuls
 def solve_incremental_vo(
     tracks: jax.Array,
@@ -804,8 +817,8 @@ def solve_incremental_vo(
     vis = visibility.astype(tracks.dtype)
     poses = [bootstrap_poses[i] for i in range(w0)]
 
-    pnp = jax.jit(pnp_pose)
-    tri = jax.jit(triangulate_points)
+    pnp = _pnp_jit
+    tri = _tri_jit
 
     def current_structure():
         posed = jnp.stack(poses)
@@ -967,8 +980,8 @@ def solve_incremental_vo_detections(
     pose_of = {s0 + i: bootstrap_poses[i] for i in range(w0)}
     solved_frames = list(range(s0, s0 + w0))
 
-    pnp = jax.jit(pnp_pose)
-    tri = jax.jit(triangulate_points)
+    pnp = _pnp_jit
+    tri = _tri_jit
     dets_np = np.asarray(detections)
     det_ok_np = np.asarray(det_scores) > score_threshold
     in_bounds = np.all(np.abs(dets_np) < 1.0, axis=-1)
@@ -1142,9 +1155,7 @@ def solve_incremental_vo_detections(
         last_seen |= seen
 
     rng = np.random.default_rng(20240 + s0)
-    pnp_batch = jax.jit(
-        jax.vmap(pnp_pose, in_axes=(None, None, 0, None, None))
-    )
+    pnp_batch = _pnp_batch_jit
 
     def ransac_pnp(points, coords, pnp_ok, pose_init):
         """RANSAC over association subsets: solve PnP on random minimal
