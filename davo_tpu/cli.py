@@ -426,6 +426,23 @@ def main(argv=None):
         "opposite direction",
     )
     vo_p.add_argument(
+        "--ba-irls",
+        type=int,
+        default=0,
+        help="incremental pipeline: in-call Huber IRLS rounds inside "
+        "every accumulator BA (soft down-weighting of observations far "
+        "above the median residual; measured to cut hard-seed ATE where "
+        "hard rejection makes it worse)",
+    )
+    vo_p.add_argument(
+        "--num-bootstraps",
+        type=int,
+        default=3,
+        help="incremental pipeline: candidate bootstrap windows tried; "
+        "the chain with the lowest coverage-penalised self-consistency "
+        "cost wins",
+    )
+    vo_p.add_argument(
         "--window-irls",
         type=int,
         default=0,
@@ -992,6 +1009,8 @@ def main(argv=None):
                 detections_fn=detections_fn,
                 pnp_ransac=args.pnp_ransac,
                 chain_passes=args.chain_passes,
+                ba_irls=args.ba_irls,
+                num_bootstraps=args.num_bootstraps,
             )
             results.append({k: float(v) for k, v in ate.items()})
             print(json.dumps({"trial": trial, **results[-1]}), flush=True)

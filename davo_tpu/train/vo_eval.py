@@ -775,6 +775,11 @@ _tri_jit = jax.jit(triangulate_points)
 _pnp_batch_jit = jax.jit(
     jax.vmap(pnp_pose, in_axes=(None, None, 0, None, None))
 )
+# schur_ba_solve runs eagerly op-by-op otherwise — thousands of tiny
+# XLA:CPU executables per chain (slow, and enough of them crash the
+# process's code sections); SchurConfig is a frozen dataclass, so it
+# hashes as a static argument.
+_schur_jit = jax.jit(schur_ba_solve, static_argnames="config")
 
 
 @_full_f32_matmuls
@@ -840,7 +845,7 @@ def solve_incremental_vo(
             .at[gauge_pt, 2]
             .set(False),
         )
-        solved = schur_ba_solve(
+        solved = _schur_jit(
             BAProblem(intrinsics=intrinsics, poses=posed, points=points),
             BAObservations(pixels=tracks[:k], visibility=vis_eff),
             solver,
@@ -1079,7 +1084,7 @@ def solve_incremental_vo_detections(
                 .set(False),
                 jnp.ones((n, 3), dtype=bool).at[gauge_pt, 2].set(False),
             )
-            ba = schur_ba_solve(
+            ba = _schur_jit(
                 BAProblem(
                     intrinsics=intrinsics, poses=posed, points=points
                 ),
