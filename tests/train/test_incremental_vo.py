@@ -83,6 +83,51 @@ def test_incremental_robust_to_sparse_visibility(key):
     assert _ate(est, poses) < 1e-3
 
 
+def test_detection_pipeline_robust_options(key):
+    """solve_incremental_vo_detections with the round-4 robustness
+    options (ba_irls / pnp_ransac / chain_passes / reject_outliers)
+    stays exact on clean detections and survives spurious ones."""
+    import numpy as np
+
+    from davo_tpu.train.vo_eval import solve_incremental_vo_detections
+
+    cfg = TrajectoryConfig(num_frames=10, num_points=8)
+    poses, _, pixels, visibility = generate_trajectory(key, cfg)
+    intr = jnp.asarray([cfg.focal_length, 0.0, 0.0])
+    boot = _to_window_frame(poses[:2], poses[0])
+    kf = cfg.num_frames
+    # detections = oracle projections + spurious junk blobs, shuffled
+    rng = np.random.default_rng(7)
+    d = 12
+    dets = np.asarray(
+        0.95 * (2.0 * rng.random((kf, d, 2)) - 1.0), np.float32
+    )
+    scores = np.full((kf, d), 0.4, np.float32)
+    pix_np = np.asarray(pixels)
+    vis_np = np.asarray(visibility)
+    for k in range(kf):
+        order = rng.permutation(d)[: pix_np.shape[1]]
+        dets[k, order] = pix_np[k]
+        scores[k, order] = np.where(vis_np[k], 0.9, 0.0)
+    est, cost = solve_incremental_vo_detections(
+        jnp.asarray(dets),
+        jnp.asarray(scores),
+        intr,
+        boot,
+        pixels[:2],
+        visibility[:2].astype(pixels.dtype),
+        ba_irls=1,
+        pnp_ransac=4,
+        chain_passes=2,
+        reject_outliers=True,
+        return_cost=True,
+    )
+    assert _ate(est, poses) < 5e-3
+    # the coverage-penalised self-consistency cost of a healthy chain is
+    # at the detection-noise floor
+    assert float(cost) < 5e-3
+
+
 def test_learned_pipeline_plumbing(key):
     """solve_learned_vo_incremental with a truth-vector guess_fn: the
     bootstrap/intrinsics unpacking and the full chain reach oracle ATE."""
