@@ -208,7 +208,15 @@ class CalibrationNetwork(nn.Module):
     #                 trained winner-take-all so tokens specialise into
     #                 diverse starts).  Extra restarts beyond the token
     #                 count fall back to noise around token 0.
+    # "input_noise" — noise-conditioned ensemble: re-apply the head to
+    #                 observation-jittered copies of the scene.  The
+    #                 head's nonlinearity turns small INPUT noise into
+    #                 structured, scene-consistent start diversity,
+    #                 where parameter-space noise is isotropic in the
+    #                 gauge-fixed coordinates.
     restart_proposals: str = "noise"
+    # observation jitter std for restart_proposals="input_noise"
+    input_noise: float = 0.02
     # Number of readout tokens of the transformer head (E parallel guess
     # estimates, reference pinhole_camera_model_transformer_guess.py:89-100).
     # With > 1, the TRAINING forward returns the raw (B, E, P) token
@@ -372,6 +380,21 @@ class CalibrationNetwork(nn.Module):
                     restart_key,
                     restarts,
                 )
+            elif self.restart_proposals == "input_noise":
+                guesses = [initial_guess]
+                for e in range(1, restarts):
+                    jit_pts = (
+                        true_projected_points
+                        + self.input_noise
+                        * jax.random.normal(
+                            jax.random.fold_in(restart_key, e),
+                            true_projected_points.shape,
+                            initial_guess.dtype,
+                        )
+                    )
+                    g = apply_head(jit_pts, visibility_mask)
+                    guesses.append(g[:, 0] if multi_token else g)
+                starts = jnp.stack(guesses, axis=1)
             elif self.restart_proposals == "noise":
                 noise = self.restart_noise * jax.random.normal(
                     restart_key,

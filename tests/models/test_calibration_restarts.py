@@ -160,6 +160,46 @@ class TestPermutationProposals:
         assert out.shape == (4, 3 + 3 * n + 6 * (m - 1))
         assert np.all(np.isfinite(np.asarray(err)))
 
+    def test_network_input_noise_proposals_run(self, key):
+        import numpy as np
+
+        from davo_tpu.data import SceneConfig, generate_batch
+        from davo_tpu.models import CalibrationNetwork
+        from davo_tpu.solve import BFGSConfig
+
+        m, n = 3, 5
+        batch = generate_batch(key, 4, SceneConfig(num_views=m, num_points=n))
+        net = CalibrationNetwork(
+            num_views=m,
+            num_points=n,
+            hidden_size=32,
+            head="mlp",
+            num_restarts=3,
+            restart_proposals="input_noise",
+            input_noise=0.02,
+            solver=BFGSConfig(
+                error_threshold=1e-7,
+                iterations=4,
+                drop_path_p=0.0,
+                line_search_iterations=8,
+            ),
+        )
+        variables = net.init(
+            {"params": key},
+            batch.projected_points,
+            batch.visibility_mask,
+            training=False,
+        )
+        out, err = net.apply(
+            variables,
+            batch.projected_points,
+            batch.visibility_mask,
+            training=False,
+            return_error=True,
+        )
+        assert out.shape == (4, 3 + 3 * n + 6 * (m - 1))
+        assert np.all(np.isfinite(np.asarray(err)))
+
     def test_unknown_proposals_raise(self, key):
         import pytest as _pytest
 
