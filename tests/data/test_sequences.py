@@ -102,6 +102,7 @@ def test_estimated_vs_groundtruth_ate():
     assert 0.0 < float(ate["rmse"]) < 0.2
 
 
+@pytest.mark.slow
 def test_evaluate_vo_sequence_file_end_to_end(fixed_random_seed):
     from davo_tpu.train.vo_eval import TrajectoryConfig, evaluate_vo_sequence_file
     from davo_tpu.parallel import SchurConfig

@@ -4,6 +4,7 @@ import numpy as np
 
 from davo_tpu.data import VOWindowConfig, generate_vo_window_batch
 from davo_tpu.geometry import rotate_vector_axis_angle
+import pytest
 
 CFG = VOWindowConfig(num_views=4, num_points=8, dtype=jnp.float64)
 
@@ -70,6 +71,7 @@ def test_jit_and_determinism(key):
     np.testing.assert_array_equal(b1.projected_points, b2.projected_points)
 
 
+@pytest.mark.slow
 def test_training_harness_integration(key):
     import dataclasses
     from davo_tpu.solve import BFGSConfig

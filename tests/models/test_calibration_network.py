@@ -229,7 +229,9 @@ def net_num_params():
     return num_calibration_parameters(M, N)
 
 
-@pytest.mark.parametrize("restarts", [1, 3])
+@pytest.mark.parametrize(
+    "restarts", [1, pytest.param(3, marks=pytest.mark.slow)]
+)
 def test_fused_objective_matches_plain(batch, key, restarts):
     # The fused-objective eval path (here: its jnp fallback, since tests run
     # on CPU) must produce the same solves as the plain objective.

@@ -90,6 +90,7 @@ def test_tokens_require_transformer_head():
         )
 
 
+@pytest.mark.slow
 def test_wta_training_step_runs_and_learns(fixed_random_seed):
     config = CalibrationExperiment(
         num_views=3,

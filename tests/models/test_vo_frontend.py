@@ -12,6 +12,7 @@ from davo_tpu.models import (
     select_matches,
 )
 from davo_tpu.types import FeaturePoints
+import pytest
 
 
 def test_detector_emits_scores_and_bounded_offsets(rng):
@@ -130,6 +131,7 @@ def test_confidence_gating_masks_ambiguous_matches(rng):
     assert np.any(np.asarray(out2.match_visibility[:, 1:]))
 
 
+@pytest.mark.slow
 def test_frontend_shapes_and_grads(rng):
     key = jax.random.key(rng.integers(1 << 30))
     net = VOFrontend(num_select=4, descriptor_channels=8, embedding_size=8)

@@ -52,7 +52,9 @@ def _reference_vg(params, pts, vis):
     return err, grad
 
 
-@pytest.mark.parametrize("block_b", [8, 16])
+@pytest.mark.parametrize(
+    "block_b", [pytest.param(8, marks=pytest.mark.slow), 16]
+)
 def test_value_and_grad_matches_autodiff(key, block_b):
     pts, vis, guess = _problem(key, 16)
     u_t, v_t, vis_t = _channel_major(pts, vis)
@@ -80,6 +82,7 @@ def test_value_and_dirderiv_matches_jvp(key):
     np.testing.assert_allclose(dphi_k, dphi_ref, rtol=5e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_ineligible_dtype_uses_jnp_fallback(key):
     # f64 parameters are kernel-ineligible: must silently take the jnp
     # path (and still be correct) rather than attempt a Mosaic lowering.

@@ -50,7 +50,10 @@ def test_build_window_edges_pads_and_indexes():
 
 @pytest.mark.parametrize(
     "num_frames,window",
-    [(8, 4), pytest.param(16, 4, marks=pytest.mark.slow)],
+    [
+        pytest.param(8, 4, marks=pytest.mark.slow),
+        pytest.param(16, 4, marks=pytest.mark.slow),
+    ],
 )
 def test_distributed_matches_host_stitcher(rng, num_frames, window):
     key = jax.random.key(rng.integers(1 << 30))

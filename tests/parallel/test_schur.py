@@ -179,6 +179,7 @@ class TestDistributed2D:
         )
         assert _cost(distributed, obs) < 1e-8
 
+    @pytest.mark.slow
     def test_long_sequence_matches_single_device(self, rng):
         # the north-star shape: many keyframes sharded over the mesh
         from davo_tpu.parallel import distributed_schur_ba_2d

@@ -24,6 +24,7 @@ def _config():
     )
 
 
+@pytest.mark.slow
 def test_fit_checkpoints_and_resumes(tmp_path):
     config = _config()
     ckpt = str(tmp_path / "run")

@@ -9,6 +9,7 @@ import numpy as np
 
 from davo_tpu.data import RenderConfig, VOWindowConfig
 from davo_tpu.train.frontend import (
+import pytest
     FrontendExperiment,
     create_frontend_state,
     frontend_loss,
@@ -36,6 +37,7 @@ def _tiny_config(**kw):
     return FrontendExperiment(**base)
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_reduces_loss(fixed_random_seed):
     config = _tiny_config()
     key = jax.random.key(fixed_random_seed)
@@ -78,6 +80,7 @@ def test_frontend_loss_masks_invisible_points(fixed_random_seed):
     np.testing.assert_allclose(float(metrics["match_loss"]), 0.0)
 
 
+@pytest.mark.slow
 def test_image_based_windowed_vo_end_to_end(fixed_random_seed):
     """Images -> frontend -> guess -> stitching runs and returns finite
     poses (accuracy comes from training; this is the plumbing test)."""

@@ -9,6 +9,7 @@ import numpy as np
 from davo_tpu.camera import calibration_error
 from davo_tpu.data import SceneConfig, generate_batch
 from davo_tpu.train.learned_solver import (
+import pytest
     LearnedSolverExperiment,
     compare_with_bfgs,
     create_learned_solver_state,
@@ -67,6 +68,7 @@ def test_training_reduces_objective(fixed_random_seed):
     assert float(final["final_error"]) < float(first["final_error"])
 
 
+@pytest.mark.slow
 def test_transformer_variant_runs(fixed_random_seed):
     config = _tiny(solver_type="transformer", embed_dim=32, num_heads=2)
     key = jax.random.key(fixed_random_seed)
@@ -76,6 +78,7 @@ def test_transformer_variant_runs(fixed_random_seed):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_compare_with_bfgs_table(fixed_random_seed):
     config = _tiny()
     key = jax.random.key(fixed_random_seed)
@@ -121,6 +124,7 @@ def test_descent_loss_mode_trains():
     )
 
 
+@pytest.mark.slow
 def test_direction_gate_trains_inside_bfgs():
     """solver_type='direction': the SearchDirectionHeuristic gate trains
     through the real BFGS solve and evaluates via the direction_fn hook."""

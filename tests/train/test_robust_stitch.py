@@ -58,6 +58,7 @@ def _ate(estimates, poses):
     return float(absolute_trajectory_error(est_c, true_c)["rmse"])
 
 
+@pytest.mark.slow
 def test_robust_stitch_confines_catastrophic_window(key):
     cfg = TrajectoryConfig(num_frames=14, num_points=16, window=4, stride=1)
     poses, _, _, _ = generate_trajectory(key, cfg)

@@ -12,6 +12,7 @@ from davo_tpu.train.runs import (
     register_run,
 )
 from davo_tpu.train import CalibrationExperiment
+import pytest
 
 
 def test_manifest_fields_and_config_hash_stability():
@@ -49,6 +50,7 @@ def test_register_run_round_trip(tmp_path):
     assert stamped["config"] == config_to_jsonable(cfg)
 
 
+@pytest.mark.slow
 def test_cli_fit_writes_manifest_and_jsonl_header(tmp_path):
     """`cli fit` stamps run provenance everywhere (VERDICT r2 missing #1)."""
     metrics = tmp_path / "metrics.jsonl"

@@ -43,6 +43,7 @@ def test_windowed_vo_beats_noisy_prior(key):
     assert float(ate["rmse"]) < 0.01, dict(ate)
 
 
+@pytest.mark.slow
 def test_evaluate_vo_end_to_end(key):
     ate = evaluate_vo(key, CFG)
     assert set(ate) == {"rmse", "mean", "median", "max"}
@@ -272,6 +273,7 @@ class TestGlobalRefinement:
             dict(after),
         )
 
+    @pytest.mark.slow
     def test_multi_round_refinement_recovers_scale_drift(self, key):
         """Alternating re-triangulation + BA rounds must beat a single
         pass on a trajectory corrupted by accumulating scale drift (the
