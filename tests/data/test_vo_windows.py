@@ -1,10 +1,10 @@
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
 from davo_tpu.data import VOWindowConfig, generate_vo_window_batch
 from davo_tpu.geometry import rotate_vector_axis_angle
-import pytest
 
 CFG = VOWindowConfig(num_views=4, num_points=8, dtype=jnp.float64)
 

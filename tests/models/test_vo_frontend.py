@@ -2,6 +2,7 @@
 constructed scene (the VERDICT-requested property test)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -12,7 +13,6 @@ from davo_tpu.models import (
     select_matches,
 )
 from davo_tpu.types import FeaturePoints
-import pytest
 
 
 def test_detector_emits_scores_and_bounded_offsets(rng):

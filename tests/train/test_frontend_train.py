@@ -2,6 +2,7 @@
 image-based windowed VO path consumes its output end to end."""
 
 import dataclasses
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -9,7 +10,6 @@ import numpy as np
 
 from davo_tpu.data import RenderConfig, VOWindowConfig
 from davo_tpu.train.frontend import (
-import pytest
     FrontendExperiment,
     create_frontend_state,
     frontend_loss,

@@ -1,6 +1,7 @@
 """Learned-solver training harness: truth vectors, learning, comparison."""
 
 import dataclasses
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -9,7 +10,6 @@ import numpy as np
 from davo_tpu.camera import calibration_error
 from davo_tpu.data import SceneConfig, generate_batch
 from davo_tpu.train.learned_solver import (
-import pytest
     LearnedSolverExperiment,
     compare_with_bfgs,
     create_learned_solver_state,

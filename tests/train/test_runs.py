@@ -2,6 +2,7 @@
 header (reference MLflow parity — camera_calibration_from_oracle_matches.py:56-69)."""
 
 import json
+import pytest
 import os
 import subprocess
 import sys
@@ -12,7 +13,6 @@ from davo_tpu.train.runs import (
     register_run,
 )
 from davo_tpu.train import CalibrationExperiment
-import pytest
 
 
 def test_manifest_fields_and_config_hash_stability():
