@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from davo_tpu.solve.least_squares import LMConfig, levenberg_marquardt
+from davo_tpu.utils import full_f32_matmuls
 from .distortion import (
     NUM_DISTORTED_PARAMS,
     distorted_project,
@@ -113,6 +114,7 @@ def generate_distorted_scenes(
     return world, pixels, params
 
 
+@full_f32_matmuls
 def refine_distorted(
     world_points: jax.Array,
     pixels: jax.Array,
@@ -125,6 +127,12 @@ def refine_distorted(
     ``(2N, 16)`` Jacobian comes from
     :func:`davo_tpu.camera.distorted_project_and_jacobian` (forward-mode,
     equal to the reference's closed form).  Batched over leading dims.
+
+    Runs under ``full_f32_matmuls``: TPU matmuls otherwise default to
+    bf16 passes, and the J^T J normal equations lose the conditioning
+    the 16-parameter recovery needs (measured at batch 4096: mean
+    parameter error 1.8e-3 / max 2.4 under bf16 vs 1e-6 / 3e-4 full-f32
+    — the same failure mode utils/precision.py documents for Schur BA).
     """
 
     def residual_and_jacobian(params):

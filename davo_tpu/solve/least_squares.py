@@ -89,7 +89,13 @@ def levenberg_marquardt(
         jtj = jnp.einsum("...rp,...rq->...pq", jac, jac)
         jtr = jnp.einsum("...rp,...r->...p", jac, res)
         aug = jtj + damping[..., None, None] * eye
-        step = -jnp.linalg.solve(aug, jtr[..., None])[..., 0]
+        # aug is SPD by construction (J^T J + lambda I, lambda > 0):
+        # batched Cholesky beats the general LU path on TPU for the
+        # small per-element systems this solver targets (P ~ 6-45)
+        chol = jax.scipy.linalg.cholesky(aug, lower=True)
+        step = -jax.scipy.linalg.cho_solve(
+            (chol, True), jtr[..., None]
+        )[..., 0]
         candidate = params + step
         new_error = error_of(candidate)
         improved = (new_error < error) & active

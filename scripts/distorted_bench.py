@@ -38,30 +38,30 @@ from davo_tpu.camera.distortion import (
 )
 from davo_tpu.solve.least_squares import LMConfig
 
-ITERATIONS = 30
+ITERATIONS = 60
 PERTURBATION = 0.02
 
 
-def time_fn(fn, *args, reps_long=4):
-    """Slope timing between chain lengths (relay protocol)."""
+def time_fn(step, x0, reps_long=4):
+    """Slope timing between chain lengths (relay protocol).
+
+    ``step(x) -> x_like`` must depend on its input (the chain feeds each
+    output back as the next input, defeating CSE between reps)."""
 
     def chained(reps):
         @jax.jit
-        def run(*a):
+        def run(x):
             def body(carry, _):
-                out = fn(*carry[1:], first=carry[0])
-                return (out,) + carry[1:], None
+                return step(carry), None
 
-            (out, *_), _ = jax.lax.scan(
-                body, (args[0],) + args[1:], None, length=reps
-            )
+            out, _ = jax.lax.scan(body, x, None, length=reps)
             return jnp.sum(out)
 
-        float(run(*args))
+        float(run(x0))
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            float(run(*args))
+            float(run(x0))
             times.append(time.perf_counter() - t0)
         return min(times)
 
@@ -75,6 +75,20 @@ def main():
     scene = DistortedSceneConfig()
     lm = LMConfig(iterations=ITERATIONS)
     for batch in (4096, 8192):
+        run_one(device, scene, lm, batch)
+    # host-CPU ratio at the production batch (the reference's
+    # torch.jit.script Jacobian targets CPU)
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return
+    if cpu.platform != device.platform:
+        with jax.default_device(cpu):
+            run_one(cpu, scene, lm, 4096, reps_long=2)
+
+
+def run_one(device, scene, lm, batch, reps_long=4):
+    if True:
         key = jax.random.key(0)
         k_scene, k_pert = jax.random.split(key)
         world, pixels, true_params = generate_distorted_scenes(
@@ -87,12 +101,12 @@ def main():
             k_pert, true_params.shape, true_params.dtype
         )
 
-        def solve(s, first):
-            # re-solving from a shifted start defeats CSE between chain
-            # steps while keeping identical work
-            return refine_distorted(world, pixels, s + 1e-6 * first, lm)
+        def solve(s):
+            # feeding the result back (damped to stay near the start)
+            # keeps the per-rep work identical while defeating CSE
+            return start + 1e-6 * refine_distorted(world, pixels, s, lm)
 
-        per_solve = time_fn(solve, start)
+        per_solve = time_fn(solve, start, reps_long=reps_long)
         iters_per_s = batch * ITERATIONS / per_solve
 
         refined = jax.jit(lambda s: refine_distorted(world, pixels, s, lm))(
@@ -102,17 +116,17 @@ def main():
         res = distorted_project(world, refined) - pixels
 
         # jacfwd share: residual+jacobian vs residual-only eval cost
-        def rj(s, first):
-            proj, jac = distorted_project_and_jacobian(
-                world, s + 1e-6 * first
-            )
-            return jnp.sum(proj) + jnp.sum(jac)
+        def rj(s):
+            proj, jac = distorted_project_and_jacobian(world, s)
+            return s + 1e-12 * (jnp.sum(proj) + jnp.sum(jac))
 
-        def r_only(s, first):
-            return jnp.sum(distorted_project(world, s + 1e-6 * first))
+        def r_only(s):
+            return s + 1e-12 * jnp.sum(distorted_project(world, s))
 
-        t_rj = time_fn(rj, start, reps_long=8)
-        t_r = time_fn(r_only, start, reps_long=8)
+        # micro timings need long chains: a 0.2-5 ms op against the
+        # relay's ~23 ms dispatch floor is pure noise at 8 reps
+        t_rj = time_fn(rj, start, reps_long=128)
+        t_r = time_fn(r_only, start, reps_long=128)
 
         print(
             json.dumps(
