@@ -29,6 +29,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from davo_tpu.utils import full_f32_matmuls
+
 __all__ = [
     "DISTORTED_PARAM_NAMES",
     "NUM_DISTORTED_PARAMS",
@@ -57,6 +59,7 @@ def _euler_zyx_matrix(rx, ry, rz):
     return jnp.stack([row0, row1, row2], axis=-2)
 
 
+@full_f32_matmuls
 def distorted_project(points_3d: jax.Array, parameters: jax.Array) -> jax.Array:
     """Project world points through the 16-parameter distorted camera.
 
