@@ -66,6 +66,7 @@ def test_eval_token_restarts_solve_and_select(fixed_random_seed):
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_eval_token_restarts_pad_with_noise(fixed_random_seed):
     key = jax.random.key(fixed_random_seed)
     net = _net(tokens=2, restarts=5, proposals="tokens")

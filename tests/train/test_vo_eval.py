@@ -134,6 +134,7 @@ class TestLearnedVO:
         true_c = camera_centers_from_poses(poses[:, 0:3], poses[:, 3:6])
         return float(absolute_trajectory_error(est_c, true_c)["rmse"])
 
+    @pytest.mark.slow
     def test_global_stitch_beats_chain_under_window_noise(self, key):
         # identical noisy window solves (same seed) for both modes.  At
         # stride 1 greedy chaining compounds scale errors catastrophically
@@ -156,6 +157,7 @@ class TestLearnedVO:
         }
         assert ates["global"] < 0.25 * ates["chain"], ates
 
+    @pytest.mark.slow
     def test_denser_stride_tightens_global_stitch(self, key):
         # stride 1 doubles the overlap constraints; in the small-noise
         # regime of real window solves it should tighten the joint stitch
@@ -307,6 +309,7 @@ class TestGlobalRefinement:
         assert ate(three) <= ate(one) + 1e-9, (ate(one), ate(three))
         assert ate(three) < 0.5 * ate(drifted)
 
+    @pytest.mark.slow
     def test_host_polish_solves_in_f64_from_f32_inputs(self, key):
         """The host polish takes f32 (TPU-resident) arrays, runs the whole
         triangulate+BA refinement in float64 on the host, and hands back
