@@ -371,6 +371,14 @@ def bfgs_solve(
             )
 
         # --- line search + step -----------------------------------------
+        init_alpha = None
+        if config.warm_start_line_search:
+            init_alpha = jnp.clip(carry["alpha"], 1.0 / 16.0, 16.0)
+            if config.line_search_method == "backtracking":
+                # backtracking only ever shrinks from its first candidate,
+                # so seed at 2x the previous accepted step (still clamped)
+                # or the accepted steps could only ratchet downwards
+                init_alpha = jnp.minimum(2.0 * init_alpha, 16.0)
         if config.line_search_method == "backtracking":
             alpha = line_search_backtracking(
                 params,
@@ -381,11 +389,9 @@ def bfgs_solve(
                 sufficient_decrease=config.sufficient_decrease,
                 max_iterations=config.line_search_iterations,
                 active=updating,
+                init_alpha=init_alpha,
             )
         else:
-            init_alpha = None
-            if config.warm_start_line_search:
-                init_alpha = jnp.clip(carry["alpha"], 1.0 / 16.0, 16.0)
             alpha = line_search_wolfe_conditions(
                 params,
                 search_direction,

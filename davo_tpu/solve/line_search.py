@@ -37,6 +37,7 @@ def line_search_backtracking(
     sufficient_decrease: float = 1e-4,
     max_iterations: int = 8,
     active: Optional[jax.Array] = None,
+    init_alpha: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Armijo backtracking with quadratic interpolation — value-only
     probes.
@@ -55,12 +56,15 @@ def line_search_backtracking(
 
     Same zero-gradient contract as the Wolfe search.
 
+    :param init_alpha: optional ``(B...,)`` first candidate step (default
+        1) — the warm-start hook :func:`line_search_wolfe_conditions` has;
+        subsequent candidates backtrack from it as usual.
     :return: ``(B...,)`` accepted step sizes (0 where no candidate
         passed within the probe budget).
     """
     c1 = sufficient_decrease
 
-    def _core(params, direction, err0, grad0, active_mask):
+    def _core(params, direction, err0, grad0, active_mask, alpha0):
         dtype = params.dtype
         batch_shape = err0.shape
         dphi0 = jnp.sum(direction * grad0, axis=-1)
@@ -70,7 +74,7 @@ def line_search_backtracking(
 
         init = dict(
             searching=jnp.broadcast_to(active_mask, batch_shape),
-            alpha=jnp.ones(batch_shape, dtype=dtype),
+            alpha=jnp.broadcast_to(alpha0.astype(dtype), batch_shape),
             accepted=jnp.zeros(batch_shape, dtype=dtype),
             step_idx=jnp.zeros((), dtype=jnp.int32),
         )
@@ -118,12 +122,15 @@ def line_search_backtracking(
 
     if active is None:
         active = jnp.ones(base_error.shape, dtype=bool)
+    if init_alpha is None:
+        init_alpha = jnp.ones(base_error.shape, dtype=parameters.dtype)
     return core(
         jax.lax.stop_gradient(parameters),
         jax.lax.stop_gradient(search_direction),
         jax.lax.stop_gradient(base_error),
         jax.lax.stop_gradient(base_gradient),
         active,
+        jax.lax.stop_gradient(init_alpha),
     )
 
 
@@ -202,14 +209,19 @@ def line_search_wolfe_conditions(
             return jax.jvp(error_function, (probe,), (direction,))
 
         zeros = jnp.zeros(batch_shape, dtype=dtype)
+        first_alpha = alpha0.astype(dtype)
+        if max_step_size is not None:
+            # the widening doublings below are capped at max_step_size;
+            # a warm-started first candidate must respect the same cap
+            first_alpha = jnp.minimum(
+                first_alpha, jnp.asarray(max_step_size, dtype)
+            )
         init = dict(
             widening=jnp.broadcast_to(active_mask, batch_shape),
             zooming=jnp.zeros(batch_shape, dtype=bool),
             lower_alpha=zeros,
             upper_alpha=zeros,
-            candidate_alpha=jnp.broadcast_to(
-                alpha0.astype(dtype), batch_shape
-            ),
+            candidate_alpha=jnp.broadcast_to(first_alpha, batch_shape),
             lower_error=err0.astype(dtype),
             upper_error=err0.astype(dtype),
             candidate_error=err0.astype(dtype),

@@ -1173,10 +1173,10 @@ def solve_incremental_vo_detections(
                 points, jnp.asarray(coords), jnp.asarray(full_w),
                 intrinsics, pose_init,
             )
-        subset = max(4, min_pnp_tracks)
+        subset_size = max(4, min_pnp_tracks)
         cand_w = [full_w]
         for _ in range(pnp_ransac):
-            pick = rng.choice(ok_idx, size=min(subset, ok_idx.size),
+            pick = rng.choice(ok_idx, size=min(subset_size, ok_idx.size),
                               replace=False)
             w_s = np.zeros_like(full_w)
             w_s[pick] = 1.0
@@ -1302,7 +1302,11 @@ def solve_incremental_vo_detections(
             last_seen |= seen
         _desc_reset()
         since_ba = 0
-        run_chain(order, pred_of=pred_of)
+        # alternate traversal direction each pass: reversed(order) visits
+        # pass 1's last-solved (best-constrained) frames first, so they
+        # seed the rebuilt structure
+        pass_order = list(reversed(order)) if extra_pass % 2 == 0 else order
+        run_chain(pass_order, pred_of=pred_of)
         run_ba(reject=reject_outliers)
         run_ba()
     # trajectory-wide re-association: with converged poses the predicted

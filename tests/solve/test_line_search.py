@@ -158,3 +158,39 @@ def test_jit_compiles(rng):
     x = jnp.asarray(rng.normal(size=(4, 3)))
     alpha = search(x)
     assert np.all(np.isfinite(alpha))
+
+
+def test_warm_start_initial_candidate_respects_max_step_size():
+    # ADVICE r4: a warm-started first candidate above max_step_size used
+    # to be probed (and acceptable) unclipped — only the widening
+    # doublings were capped.  On a pure descent direction the strong
+    # curvature condition never holds, so every probed candidate is
+    # reported; all must sit at or under the cap.
+    fn = lambda x: -jnp.sum(x, axis=-1)
+    x = jnp.asarray([[0.0]])
+    d = jnp.asarray([[1.0]])
+    err0, g0 = _grad(fn, x)
+    alpha = line_search_wolfe_conditions(
+        x, d, err0, g0, fn,
+        max_step_size=2.0,
+        max_iterations=8,
+        init_alpha=jnp.asarray([8.0]),
+    )
+    assert float(alpha[0]) <= 2.0
+
+
+def test_backtracking_init_alpha_is_first_candidate():
+    # ADVICE r4: warm_start + backtracking was silently a no-op; the
+    # search now accepts an init_alpha.  On a descent direction the first
+    # candidate passes Armijo immediately, so the accepted step must be
+    # the warm-start value, not 1.
+    from davo_tpu.solve.line_search import line_search_backtracking
+
+    fn = lambda x: -jnp.sum(x, axis=-1)
+    x = jnp.asarray([[0.0]])
+    d = jnp.asarray([[1.0]])
+    err0, g0 = _grad(fn, x)
+    alpha = line_search_backtracking(
+        x, d, err0, g0, fn, init_alpha=jnp.asarray([0.5])
+    )
+    assert float(alpha[0]) == pytest.approx(0.5)
