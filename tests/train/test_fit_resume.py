@@ -93,3 +93,64 @@ def test_curriculum_cross_stage_resume(tmp_path):
     assert train_epochs == [2, 3], train_epochs
     assert int(state.step) == 4 * config.batches_per_epoch
     assert len(hist["train"]) == 2
+
+
+@pytest.mark.slow
+def test_sigkill_mid_run_auto_resume_matches_uninterrupted(tmp_path):
+    """Fault-injected elastic recovery (VERDICT r4 item 5).
+
+    A real subprocess running ``fit`` SIGKILLs itself after epoch 2's
+    compute but before epoch 2's checkpoint lands (no clean exit, no
+    flush).  A relaunch pointed at the same checkpoint dir must
+    auto-resume from the last durable checkpoint, redo the lost epoch,
+    and finish with final metrics and parameters equal to a run that was
+    never interrupted.
+    """
+    import json
+    import os
+    import signal
+    import subprocess
+    import sys
+
+    child = os.path.join(os.path.dirname(__file__), "_fit_crash_child.py")
+
+    def run(ckpt_dir, kill_at):
+        proc = subprocess.run(
+            [sys.executable, child, str(ckpt_dir), str(kill_at)],
+            capture_output=True, text=True, timeout=600,
+        )
+        lines = [
+            json.loads(l) for l in proc.stdout.splitlines() if l.strip()
+        ]
+        return proc, lines
+
+    # 1. crash run: dies by SIGKILL mid-run, after logging train epoch 2
+    proc, lines = run(tmp_path / "run", kill_at=2)
+    assert proc.returncode == -signal.SIGKILL, proc.stderr[-2000:]
+    assert lines[-1] == {"split": "train", "epoch": 2}
+    assert not any(l.get("final") for l in lines)
+
+    # 2. relaunch, same dir: auto-resumes (epoch 2 is redone — its
+    #    checkpoint was never written) and completes
+    proc, lines = run(tmp_path / "run", kill_at=-1)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    train_epochs = [l["epoch"] for l in lines if l.get("split") == "train"]
+    assert train_epochs == [2, 3], train_epochs
+    resumed = lines[-1]
+    assert resumed["final"]
+
+    # 3. uninterrupted reference run in a fresh dir
+    proc, lines = run(tmp_path / "ref", kill_at=-1)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    reference = lines[-1]
+
+    assert resumed["step"] == reference["step"]
+    assert resumed["train_loss"] == pytest.approx(
+        reference["train_loss"], rel=1e-6
+    )
+    assert resumed["val_loss"] == pytest.approx(
+        reference["val_loss"], rel=1e-6
+    )
+    assert resumed["params_l1"] == pytest.approx(
+        reference["params_l1"], rel=1e-6
+    )
