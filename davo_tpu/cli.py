@@ -190,6 +190,86 @@ def _load_frontend_fn(
     return frontend_fn, detections_fn, render_config
 
 
+def _cmd_runs(args):
+    """``davo_tpu runs list|show|compare`` — registry browse surface."""
+    from davo_tpu.train.runs import (
+        compare_runs,
+        final_metrics,
+        load_registry,
+        metrics_path_for,
+    )
+
+    rows = load_registry(args.registry_dir)
+    if not rows:
+        print(f"no runs registered under {args.registry_dir}", file=sys.stderr)
+        return 1
+
+    def select(run_id_prefix):
+        matches = [
+            r for r in rows if r.get("run_id", "").startswith(run_id_prefix)
+        ]
+        if not matches:
+            print(f"no run matches {run_id_prefix!r}", file=sys.stderr)
+        elif len(matches) > 1:
+            print(
+                f"{run_id_prefix!r} is ambiguous: "
+                + ", ".join(r["run_id"] for r in matches),
+                file=sys.stderr,
+            )
+            matches = []
+        return matches
+
+    if args.action == "list":
+        for row in rows:
+            final = final_metrics(row)
+            val = final.get("val") or final.get("train") or {}
+            loss = val.get("loss")
+            print(
+                json.dumps(
+                    {
+                        "run_id": row.get("run_id"),
+                        "name": row.get("name"),
+                        "created": row.get("created"),
+                        "git_sha": (row.get("git_sha") or "")[:10],
+                        "backend": row.get("backend"),
+                        "checkpoint_dir": row.get("checkpoint_dir"),
+                        "final_loss": None if loss is None else round(loss, 6),
+                    }
+                )
+            )
+        return 0
+
+    if args.action == "show":
+        if len(args.run_ids) != 1:
+            print("runs show takes exactly one run id", file=sys.stderr)
+            return 2
+        matches = select(args.run_ids[0])
+        if not matches:
+            return 1
+        row = matches[0]
+        print(
+            json.dumps(
+                {
+                    **row,
+                    "metrics_file": metrics_path_for(row),
+                    "final_metrics": final_metrics(row),
+                },
+                indent=2,
+            )
+        )
+        return 0
+
+    # compare
+    selected = []
+    for prefix in args.run_ids or [r["run_id"] for r in rows]:
+        matches = select(prefix)
+        if not matches:
+            return 1
+        selected.extend(matches)
+    print(json.dumps(compare_runs(selected, split=args.split), indent=2))
+    return 0
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="davo_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -549,6 +629,23 @@ def main(argv=None):
         "and concatenate: frame-0-anchored tracks go blind by mid-orbit; "
         "dual anchoring keeps every frame observed",
     )
+    runs_p = sub.add_parser(
+        "runs",
+        help="browse the run registry (the serverless MLflow-parity "
+        "surface, reference README.md:3-8): list runs, show one run's "
+        "manifest + final metrics, or compare several side by side",
+    )
+    runs_p.add_argument("action", choices=("list", "show", "compare"))
+    runs_p.add_argument(
+        "run_ids",
+        nargs="*",
+        help="run ids for show/compare (unique prefixes accepted; "
+        "compare with none selects every run)",
+    )
+    runs_p.add_argument("--registry-dir", default="artifacts/runs")
+    runs_p.add_argument(
+        "--split", default="val", help="metrics split for compare"
+    )
     args = parser.parse_args(argv)
 
     if args.command == "presets":
@@ -557,6 +654,9 @@ def main(argv=None):
         for name, builder in sorted(PRESETS.items()):
             print(f"{name}: {type(builder()).__name__}")
         return 0
+
+    if args.command == "runs":
+        return _cmd_runs(args)
 
     if args.command == "bench":
         # bench.py lives at the repo root (next to the package), which is

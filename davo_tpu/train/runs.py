@@ -28,7 +28,15 @@ import sys
 import time
 from typing import Any, Dict, Optional
 
-__all__ = ["config_to_jsonable", "make_run_manifest", "register_run"]
+__all__ = [
+    "config_to_jsonable",
+    "make_run_manifest",
+    "register_run",
+    "load_registry",
+    "metrics_path_for",
+    "final_metrics",
+    "compare_runs",
+]
 
 
 def config_to_jsonable(config: Any) -> Any:
@@ -117,3 +125,109 @@ def register_run(
         ) as f:
             json.dump(manifest, f, indent=2)
     return registry_path
+
+
+# --- browse / compare surface (the reference's ONE documented workflow is
+# an MLflow tracking server, /root/reference/README.md:3-8; this is the
+# serverless equivalent behind ``davo_tpu runs list|show|compare``) ------
+
+
+def load_registry(registry_dir: str = "artifacts/runs") -> list:
+    """All registered runs, oldest first (malformed lines skipped)."""
+    path = os.path.join(registry_dir, "registry.jsonl")
+    rows = []
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                try:
+                    rows.append(json.loads(line))
+                except ValueError:
+                    continue
+    return rows
+
+
+def metrics_path_for(row: Dict[str, Any]) -> Optional[str]:
+    """The run's metrics JSONL path, recovered from its recorded argv."""
+    argv = row.get("argv") or []
+    for i, arg in enumerate(argv):
+        if arg == "--metrics-file" and i + 1 < len(argv):
+            return argv[i + 1]
+        if arg.startswith("--metrics-file="):
+            return arg.split("=", 1)[1]
+    return None
+
+
+def final_metrics(row: Dict[str, Any]) -> Dict[str, Dict[str, float]]:
+    """Last train/val metric records of a run, keyed by split.
+
+    Reads the metrics JSONL the run logged to; records are attributed by
+    ``run_id`` (files may hold several appended runs — see MetricsLogger's
+    header note), falling back to all records when the file predates
+    run-id stamping.
+    """
+    path = metrics_path_for(row)
+    run_id = row.get("run_id")
+    last: Dict[str, Dict[str, float]] = {}
+    if not path or not os.path.exists(path):
+        return last
+    with open(path) as f:
+        for line in f:
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if "split" not in rec:
+                continue
+            if "run_id" in rec and run_id is not None and rec["run_id"] != run_id:
+                continue
+            last[rec["split"]] = {
+                k: v
+                for k, v in rec.items()
+                if isinstance(v, (int, float)) and k != "epoch"
+            } | {"epoch": rec.get("epoch")}
+    return last
+
+
+def compare_runs(rows: list, split: str = "val") -> Dict[str, Any]:
+    """Side-by-side final metrics + config differences for several runs.
+
+    :return: ``{"metrics": {metric: {run_id: value}},
+        "config_diff": {path: {run_id: value}}}`` — ``config_diff`` holds
+        only the flattened config keys on which the runs disagree (the
+        full config is recovered from each checkpoint dir's
+        ``run_manifest.json`` when present, else the registry row).
+    """
+
+    def flatten(prefix, obj, out):
+        if isinstance(obj, dict):
+            for k, v in obj.items():
+                flatten(f"{prefix}.{k}" if prefix else str(k), v, out)
+        else:
+            out[prefix] = obj
+
+    metrics: Dict[str, Dict[str, Any]] = {}
+    configs: Dict[str, Dict[str, Any]] = {}
+    for row in rows:
+        run_id = row.get("run_id", "?")
+        for name, value in final_metrics(row).get(split, {}).items():
+            metrics.setdefault(name, {})[run_id] = value
+        config = row.get("config")
+        ckpt = row.get("checkpoint_dir")
+        if config is None and ckpt:
+            manifest_path = os.path.join(ckpt, "run_manifest.json")
+            if os.path.exists(manifest_path):
+                try:
+                    with open(manifest_path) as f:
+                        config = json.load(f).get("config")
+                except (OSError, ValueError):
+                    config = None
+        flat: Dict[str, Any] = {}
+        flatten("", config or {}, flat)
+        configs[run_id] = flat
+    all_keys = sorted({k for c in configs.values() for k in c})
+    config_diff = {}
+    for k in all_keys:
+        values = {rid: c.get(k) for rid, c in configs.items()}
+        if len({json.dumps(v, sort_keys=True) for v in values.values()}) > 1:
+            config_diff[k] = values
+    return {"metrics": metrics, "config_diff": config_diff}
