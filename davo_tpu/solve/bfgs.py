@@ -71,7 +71,15 @@ class BFGSConfig:
     # first probe and a smaller line_search_iterations cap reaches the
     # same final error with roughly half the probe evaluations (the
     # dominant cost of the headline solve — see ROADMAP's SOL analysis).
+    # With the backtracking search the first candidate is seeded at
+    # 2x the previous accepted step so steps can recover (backtracking
+    # only ever shrinks within one search); cap it with
+    # warm_start_max_alpha — Armijo-only acceptance takes the FIRST
+    # passing candidate, so seeding far above the unit step accepts
+    # weaker steps than alpha = 1 would give (N&W recommend starting
+    # quasi-Newton searches at 1; 1.0 restores that upper bound).
     warm_start_line_search: bool = False
+    warm_start_max_alpha: float = 16.0
     # "wolfe" (reference parity: strong/weak Wolfe widen+zoom machine) or
     # "backtracking" (Armijo + quadratic interpolation, value-only probes
     # — roughly half the per-probe cost and 1-2 probes typical; the
@@ -376,9 +384,11 @@ def bfgs_solve(
             init_alpha = jnp.clip(carry["alpha"], 1.0 / 16.0, 16.0)
             if config.line_search_method == "backtracking":
                 # backtracking only ever shrinks from its first candidate,
-                # so seed at 2x the previous accepted step (still clamped)
-                # or the accepted steps could only ratchet downwards
-                init_alpha = jnp.minimum(2.0 * init_alpha, 16.0)
+                # so seed at 2x the previous accepted step (capped) or the
+                # accepted steps could only ratchet downwards
+                init_alpha = jnp.minimum(
+                    2.0 * init_alpha, config.warm_start_max_alpha
+                )
         if config.line_search_method == "backtracking":
             alpha = line_search_backtracking(
                 params,
