@@ -68,11 +68,26 @@ def slope_ms(make_chain, reps_pair=(1, 5)):
 def main():
     err_fn, guess = make_problem()
 
-    def solve_chain(cfg):
+    # the bench operating point additionally runs the fused Pallas
+    # objective (value+grad in one kernel) and bf16 H-carry
+    from davo_tpu.data import SceneConfig, generate_batch  # noqa: F811
+    from davo_tpu.ops.calibration_obj import make_fused_calibration_objective
+
+    batch = generate_batch(
+        jax.random.key(0), B, SceneConfig(num_views=M, num_points=N)
+    )
+    fused_err_fn, fused_vg_fn = make_fused_calibration_objective(
+        batch.projected_points, batch.visibility_mask.astype(guess.dtype)
+    )
+
+    def solve_chain(cfg, e_fn=err_fn, vg_fn=None):
         def make(reps):
             def run():
                 def body(p, _):
-                    return bfgs_solve(err_fn, p, cfg), None
+                    return (
+                        bfgs_solve(e_fn, p, cfg, value_and_grad_fn=vg_fn),
+                        None,
+                    )
 
                 out, _ = jax.lax.scan(body, guess, None, length=reps)
                 return jnp.sum(out)
@@ -88,22 +103,92 @@ def main():
         drop_path_p=0.0,
         line_search_iterations=8,
     )
+    bench_pt = dict(
+        fused_hessian_kernel=True,
+        hessian_dtype="bfloat16",
+        line_search_method="backtracking",
+    )
     cases = {
-        "full_solve_fused": BFGSConfig(fused_hessian_kernel=True, **base),
-        "full_solve_jnp_h": BFGSConfig(fused_hessian_kernel=False, **base),
-        "ls1_solve_fused": BFGSConfig(
-            fused_hessian_kernel=True,
-            **{**base, "line_search_iterations": 1},
+        "bench_bt8_fusedobj": (
+            BFGSConfig(**bench_pt, **base),
+            fused_err_fn,
+            fused_vg_fn,
+        ),
+        "bench_bt1_fusedobj": (
+            BFGSConfig(**bench_pt, **{**base, "line_search_iterations": 1}),
+            fused_err_fn,
+            fused_vg_fn,
+        ),
+        "bench_bt8_jnpobj": (BFGSConfig(**bench_pt, **base), err_fn, None),
+        "wolfe8_fusedobj": (
+            BFGSConfig(
+                fused_hessian_kernel=True, hessian_dtype="bfloat16", **base
+            ),
+            fused_err_fn,
+            fused_vg_fn,
+        ),
+        "full_solve_fused": (BFGSConfig(fused_hessian_kernel=True, **base), err_fn, None),
+        "full_solve_jnp_h": (BFGSConfig(fused_hessian_kernel=False, **base), err_fn, None),
+        "ls1_solve_fused": (
+            BFGSConfig(
+                fused_hessian_kernel=True,
+                **{**base, "line_search_iterations": 1},
+            ),
+            err_fn,
+            None,
         ),
     }
-    for name, cfg in cases.items():
-        ms = slope_ms(solve_chain(cfg))
+    for name, (cfg, e_fn, vg_fn) in cases.items():
+        ms = slope_ms(solve_chain(cfg, e_fn, vg_fn))
         print(
             json.dumps(
                 {"case": name, "ms": round(ms, 2), "iters_per_s": round(B * IT / ms * 1e3)}
             ),
             flush=True,
         )
+
+    def fused_vg_loop(reps):
+        def run():
+            def body(p, _):
+                e, g = fused_vg_fn(p)
+                return p - 1e-6 * g - 1e-9 * e[:, None], None
+
+            def rep(p, _):
+                out, _ = jax.lax.scan(body, p, None, length=IT)
+                return out, None
+
+            out, _ = jax.lax.scan(rep, guess, None, length=reps)
+            return jnp.sum(out)
+
+        return run
+
+    print(
+        json.dumps(
+            {"case": "fused_vg_loop_20", "ms": round(slope_ms(fused_vg_loop), 2)}
+        ),
+        flush=True,
+    )
+
+    def fused_val_loop(reps):
+        def run():
+            def body(p, _):
+                return p - 1e-9 * fused_err_fn(p)[:, None], None
+
+            def rep(p, _):
+                out, _ = jax.lax.scan(body, p, None, length=IT)
+                return out, None
+
+            out, _ = jax.lax.scan(rep, guess, None, length=reps)
+            return jnp.sum(out)
+
+        return run
+
+    print(
+        json.dumps(
+            {"case": "fused_val_loop_20", "ms": round(slope_ms(fused_val_loop), 2)}
+        ),
+        flush=True,
+    )
 
     def vg_chain(reps):
         def run():
