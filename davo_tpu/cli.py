@@ -515,6 +515,15 @@ def main(argv=None):
         "hard rejection makes it worse)",
     )
     vo_p.add_argument(
+        "--ba-iterations",
+        type=int,
+        default=None,
+        help="incremental pipeline: Schur-BA LM iterations per solve "
+        "(default keeps TrajectoryConfig's 10; the round-5 error budget "
+        "measured 30 together with --ba-irls 4 recovering ~15%% mean "
+        "ATE on the official seeds for pure compute)",
+    )
+    vo_p.add_argument(
         "--num-bootstraps",
         type=int,
         default=3,
@@ -1090,6 +1099,15 @@ def main(argv=None):
             window=args.window,
             stride=args.stride,
         )
+        if args.ba_iterations is not None:
+            import dataclasses as _dc
+
+            tcfg = _dc.replace(
+                tcfg,
+                solver=_dc.replace(
+                    tcfg.solver, iterations=args.ba_iterations
+                ),
+            )
         results = []
         for trial in range(args.trials):
             ate = evaluate_learned_vo(
