@@ -34,7 +34,13 @@ BATCH = 16384
 NUM_VIEWS = 4
 NUM_POINTS = 8
 ITERATIONS = 20
-LINE_SEARCH_ITERS = 8
+# Probe-cap sweep (artifacts/tune_bench_r5.log + ROADMAP round-5 SOL):
+# cap 6 reaches the IDENTICAL final error as cap 8 (0.5617 at 4
+# decimals — the while_loop's all-accepted early exit means rounds 7-8
+# almost never execute) at +8% throughput; cap 5 degrades error to
+# 0.593 and cap <= 4 freezes never-accepted elements (err 7+).  Warm-
+# started first candidates were re-measured negative at every cap.
+LINE_SEARCH_ITERS = 6
 
 
 def make_problem(device):
