@@ -104,7 +104,7 @@ def windows_vo(method, trials=3):
     net_cfg = dataclasses.replace(
         get_preset("calibration_transformer_curriculum"),
         num_views=4,
-        num_points=32,
+        num_points=8,
         hidden_size=384,
         transformer_layers=8,
         transformer_heads=8,
@@ -129,10 +129,10 @@ def windows_vo(method, trials=3):
         out = evaluate_learned_vo(
             guess_fn,
             jax.random.key(100 + trial),
-            TrajectoryConfig(),
+            TrajectoryConfig(num_frames=16, num_points=8, window=4),
             refine=False,
         )
-        rmse = float(out["ate_rmse"])
+        rmse = float(out["rmse"])
         rmses.append(rmse)
         print(
             json.dumps(
