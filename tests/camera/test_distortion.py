@@ -94,6 +94,26 @@ class TestJacobian:
         uv, jac = distorted_project_and_jacobian(points, params)
         assert jac.shape == (3, 6, 2, NUM_DISTORTED_PARAMS)
 
+    def test_closed_form_equals_jacfwd(self, rng):
+        """The hand-assembled Jacobian must equal the autodiff build to
+        roundoff — batched and unbatched, with every distortion term
+        live (reference closed form:
+        camera_model/distorted_camera_model.py:114-385)."""
+        from davo_tpu.camera.distortion import (
+            distorted_project_and_jacobian_jacfwd,
+        )
+
+        params = jnp.asarray(rng.normal(size=(4, NUM_DISTORTED_PARAMS)) * 0.3)
+        params = params.at[:, TZ].add(6.0).at[:, FX].add(1.2).at[:, FY].add(1.1)
+        points = jnp.asarray(rng.normal(size=(4, 9, 3)))
+        uv_c, jac_c = distorted_project_and_jacobian(points, params)
+        uv_a, jac_a = distorted_project_and_jacobian_jacfwd(points, params)
+        np.testing.assert_allclose(uv_c, uv_a, rtol=0, atol=1e-12)
+        np.testing.assert_allclose(jac_c, jac_a, rtol=0, atol=1e-11)
+        uv_c, jac_c = distorted_project_and_jacobian(points[0], params[0])
+        uv_a, jac_a = distorted_project_and_jacobian_jacfwd(points[0], params[0])
+        np.testing.assert_allclose(jac_c, jac_a, rtol=0, atol=1e-11)
+
 
 class TestLMRefinement:
     def test_recovers_perturbed_parameters(self, rng):
